@@ -1,0 +1,431 @@
+"""The Tekkenizer: public tokenizer API.
+
+Parity surface (reference: src/tekkenizer.rs):
+- construction + validation           (src/tekkenizer.rs:71-191)
+- ``from_file``                       (src/tekkenizer.rs:222-248)
+- ``encode(text, add_bos, add_eos)``  (src/tekkenizer.rs:378-405)
+- ``decode`` / ``decode_all``         (src/tekkenizer.rs:436-511)
+- id helpers, vocab access, audio     (src/tekkenizer.rs:281-760)
+
+Token-id spaces: the public id space puts special tokens at
+``0..num_special_tokens`` and shifts engine ranks up by
+``num_special_tokens`` (reference: src/tekkenizer.rs:390-392 encode,
+:548-551 decode).
+
+TPU-native extensions beyond the reference surface:
+- ``encode_batch(texts)``: batched encode through the XLA/Pallas device path
+  (ops/), the throughput path toward the >=1 GB/s/chip target.
+- ``device_tables()``: the replicated HBM tables (pair-merge hash table +
+  decode byte spans) used by the device kernels and the parallel/ layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from .audio import Audio, AudioConfig, AudioEncoder, AudioEncoding
+from .config import ModelData, TokenInfo, TokenizerVersion, parse_version
+from .errors import (
+    AudioError,
+    InvalidConfigError,
+    SpecialTokenPolicyError,
+    TokenizersError,
+    TokenNotFoundError,
+)
+from .oracle import TEKKEN_PATTERN, encode_ranks
+from .special_tokens import (
+    SpecialTokenInfo,
+    SpecialTokenPolicy,
+    SpecialTokens,
+    get_deprecated_special_tokens,
+)
+from .vocab import DecodeTable, PairTable, reload_mergeable_ranks
+
+
+class Tekkenizer:
+    """Multimodal Tekken tokenizer (reference: src/tekkenizer.rs:34-44)."""
+
+    def __init__(
+        self,
+        vocab: list[TokenInfo],
+        special_tokens: list[SpecialTokenInfo],
+        pattern: str,
+        vocab_size: int,
+        num_special_tokens: int,
+        version: TokenizerVersion,
+        audio_config: Optional[AudioConfig] = None,
+    ):
+        # --- validation (reference: src/tekkenizer.rs:80-106) ---
+        if vocab_size > len(vocab) + num_special_tokens:
+            raise InvalidConfigError(
+                f"vocab_size ({vocab_size}) must be <= vocab.len() "
+                f"({len(vocab)}) + num_special_tokens ({num_special_tokens})")
+
+        seen = set()
+        for tok in special_tokens:
+            if tok.token_str in seen:
+                raise InvalidConfigError(
+                    f"Duplicate special token: {tok.token_str}")
+            seen.add(tok.token_str)
+
+        if len(special_tokens) > num_special_tokens:
+            raise InvalidConfigError(
+                f"special_tokens.len() ({len(special_tokens)}) must be <= "
+                f"num_special_tokens ({num_special_tokens})")
+
+        # --- fill missing special slots (reference: src/tekkenizer.rs:108-116) ---
+        all_special = list(special_tokens)
+        for i in range(len(special_tokens), num_special_tokens):
+            all_special.append(SpecialTokenInfo(
+                rank=i, token_str=f"<SPECIAL_{i}>", is_control=True))
+
+        inner_vocab_size = vocab_size - num_special_tokens
+        ranks = reload_mergeable_ranks(vocab, inner_vocab_size)
+
+        # The reference ignores config.pattern and hardcodes the Tekken
+        # pattern (reference: src/tekkenizer.rs:74,123); so do we.
+        del pattern
+        self._pattern = TEKKEN_PATTERN
+
+        # str -> rank map (reference: src/tekkenizer.rs:129-132)
+        self._special_tokens_map = {t.token_str: t.rank for t in all_special}
+
+        # decode tables (reference builds rank->bytes at src/tekkenizer.rs:135-138)
+        self._decode_table = DecodeTable.build(ranks)
+
+        # vocab strings: specials, then lossy BPE strings, "<?>" for ranks
+        # with no vocab entry (reference: src/tekkenizer.rs:141-155)
+        n_ranks = len(ranks)
+        vocab_strings = [t.token_str for t in all_special]
+        for i in range(vocab_size - num_special_tokens):
+            if i < n_ranks:
+                vocab_strings.append(
+                    self._decode_table.token_bytes(i).decode("utf-8", errors="replace"))
+            else:
+                vocab_strings.append("<?>")
+
+        # audio wiring (reference: src/tekkenizer.rs:157-178)
+        audio_encoder = None
+        if audio_config is not None:
+            audio_id = self._special_tokens_map.get(SpecialTokens.AUDIO.as_str())
+            if audio_id is None:
+                raise TokenNotFoundError("Audio token not found")
+            begin_audio_id = self._special_tokens_map.get(
+                SpecialTokens.BEGIN_AUDIO.as_str())
+            if begin_audio_id is None:
+                raise TokenNotFoundError("BeginAudio token not found")
+            audio_encoder = AudioEncoder(
+                config=audio_config,
+                audio_token_id=audio_id,
+                begin_audio_token_id=begin_audio_id,
+            )
+
+        self._ranks = ranks
+        self._vocab_size = vocab_size
+        self._num_special_tokens = num_special_tokens
+        self._version = version
+        self._special_tokens = all_special
+        self._vocab_strings = vocab_strings
+        self._audio_config = audio_config
+        self._audio_encoder = audio_encoder
+
+        # Lazily-built accelerated engines.
+        self._pair_table: Optional[PairTable] = None
+        self._jax_encoder = None
+        self._native_encoder = None
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_file(cls, path) -> "Tekkenizer":
+        """Load from a tekken.json model file
+        (reference: src/tekkenizer.rs:222-248)."""
+        model_data = ModelData.from_file(path)
+        version = parse_version(model_data.config.version)
+        special_tokens = model_data.special_tokens
+        if special_tokens is None:
+            special_tokens = get_deprecated_special_tokens()
+        return cls(
+            vocab=model_data.vocab,
+            special_tokens=special_tokens,
+            pattern=model_data.config.pattern,
+            vocab_size=model_data.config.default_vocab_size,
+            num_special_tokens=model_data.config.default_num_special_tokens,
+            version=version,
+            audio_config=model_data.audio,
+        )
+
+    # ------------------------------------------------------------------ #
+    # metadata accessors
+    # ------------------------------------------------------------------ #
+
+    def vocab_size(self) -> int:
+        """Total vocab size incl. specials (reference: src/tekkenizer.rs:261-263)."""
+        return self._vocab_size
+
+    def num_special_tokens(self) -> int:
+        return self._num_special_tokens
+
+    def version(self) -> TokenizerVersion:
+        return self._version
+
+    def vocab(self) -> list[str]:
+        """Full vocabulary strings (reference: src/tekkenizer.rs:348-350)."""
+        return self._vocab_strings
+
+    # ------------------------------------------------------------------ #
+    # special-token ids
+    # ------------------------------------------------------------------ #
+
+    def get_control_token(self, token_str: str) -> int:
+        """Lookup a special token id by string; error lists available specials
+        (reference: src/tekkenizer.rs:331-341)."""
+        rank = self._special_tokens_map.get(token_str)
+        if rank is None:
+            available = list(self._special_tokens_map.keys())
+            raise TokenNotFoundError(
+                f"Unknown control token: '{token_str}'. "
+                f"Available special tokens: {available!r}")
+        return rank
+
+    def bos_id(self) -> int:
+        return self.get_control_token(SpecialTokens.BOS.as_str())
+
+    def eos_id(self) -> int:
+        return self.get_control_token(SpecialTokens.EOS.as_str())
+
+    def pad_id(self) -> int:
+        return self.get_control_token(SpecialTokens.PAD.as_str())
+
+    def unk_id(self) -> int:
+        return self.get_control_token(SpecialTokens.UNK.as_str())
+
+    def is_special_token(self, token_id: int) -> bool:
+        """id < num_special_tokens (reference: src/tekkenizer.rs:574-576)."""
+        return 0 <= token_id < self._num_special_tokens
+
+    def is_byte(self, token_id: int) -> bool:
+        """num_special <= id < num_special + 256
+        (reference: src/tekkenizer.rs:591-600)."""
+        if token_id < self._num_special_tokens:
+            return False
+        return (token_id - self._num_special_tokens) < 256
+
+    # ------------------------------------------------------------------ #
+    # encode
+    # ------------------------------------------------------------------ #
+
+    def encode(self, text: str, add_beginning_of_sequence: bool,
+               add_end_of_sequence: bool) -> list[int]:
+        """Encode one string to public token ids
+        (reference: src/tekkenizer.rs:378-405)."""
+        engine_ranks = self._encode_ranks_host(text)
+        shift = self._num_special_tokens
+        tokens = [r + shift for r in engine_ranks]
+        if add_beginning_of_sequence:
+            tokens.insert(0, self.bos_id())
+        if add_end_of_sequence:
+            tokens.append(self.eos_id())
+        return tokens
+
+    def _encode_ranks_host(self, text: str) -> list[int]:
+        """Host-side engine-rank encode; prefers the native C++ engine when
+        built, falling back to the scalar oracle."""
+        native = self._get_native_encoder()
+        if native is not None:
+            return native.encode(text)
+        return encode_ranks(text, self._ranks)
+
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        add_beginning_of_sequence: bool = False,
+        add_end_of_sequence: bool = False,
+    ) -> list[list[int]]:
+        """Batched encode through the XLA device path (TPU-native extension).
+
+        Falls back to the host engine per-string if the device path is
+        unavailable for a given input.
+        """
+        enc = self._get_jax_encoder()
+        if enc is not None:
+            rank_lists = enc.encode_batch(texts)
+        else:
+            rank_lists = [encode_ranks(t, self._ranks) for t in texts]
+        shift = self._num_special_tokens
+        out = []
+        bos = self.bos_id() if add_beginning_of_sequence else None
+        eos = self.eos_id() if add_end_of_sequence else None
+        for ranks in rank_lists:
+            toks = [r + shift for r in ranks]
+            if bos is not None:
+                toks.insert(0, bos)
+            if eos is not None:
+                toks.append(eos)
+            out.append(toks)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # decode
+    # ------------------------------------------------------------------ #
+
+    def decode(self, tokens: Sequence[int],
+               special_token_policy: SpecialTokenPolicy) -> str:
+        """Join of decode_all (reference: src/tekkenizer.rs:436-443)."""
+        return "".join(self.decode_all(tokens, special_token_policy))
+
+    def decode_all(self, tokens: Sequence[int],
+                   special_token_policy: SpecialTokenPolicy) -> list[str]:
+        """Decode into segments of maximal same-specialness runs
+        (reference: src/tekkenizer.rs:463-511)."""
+        decoded: list[str] = []
+        group: list[int] = []
+        group_is_special: Optional[bool] = None
+        ns = self._num_special_tokens
+
+        for token_id in tokens:
+            is_special = token_id < ns
+            if group_is_special is None:
+                group_is_special = is_special
+            if is_special == group_is_special:
+                group.append(token_id)
+            else:
+                self._decode_group(group, group_is_special, decoded,
+                                   special_token_policy)
+                group = [token_id]
+                group_is_special = is_special
+        if group_is_special is not None:
+            self._decode_group(group, group_is_special, decoded,
+                               special_token_policy)
+        return decoded
+
+    def _decode_group(self, group: list[int], is_special: bool,
+                      decoded: list[str],
+                      policy: SpecialTokenPolicy) -> None:
+        """(reference: src/tekkenizer.rs:522-560)"""
+        if is_special:
+            if policy is SpecialTokenPolicy.RAISE:
+                raise SpecialTokenPolicyError(
+                    f"Decoding tokens that contain special tokens "
+                    f"({group!r}) is not allowed")
+            if policy is SpecialTokenPolicy.KEEP:
+                for token_id in group:
+                    decoded.append(self._special_tokens[token_id].token_str)
+            # IGNORE: skip
+        else:
+            ns = self._num_special_tokens
+            n_ranks = len(self._decode_table.offsets) - 1
+            parts = []
+            for t in group:
+                rank = t - ns
+                if rank < 0 or rank >= n_ranks:
+                    raise TokenizersError(f"Invalid token id for decode: {t}")
+                parts.append(self._decode_table.token_bytes(rank))
+            decoded.append(b"".join(parts).decode("utf-8", errors="replace"))
+
+    def id_to_piece(self, token_id: int) -> str:
+        """Single-token string (reference: src/tekkenizer.rs:617-628)."""
+        if token_id >= self._vocab_size or token_id < 0:
+            raise InvalidConfigError(
+                f"Token ID {token_id} is out of vocabulary range "
+                f"(0-{self._vocab_size - 1})")
+        return self.decode([token_id], SpecialTokenPolicy.KEEP)
+
+    def id_to_byte_piece(self, token_id: int,
+                         special_token_policy: SpecialTokenPolicy) -> bytes:
+        """Single-token bytes (reference: src/tekkenizer.rs:648-695).
+
+        For non-special tokens whose bytes are not valid UTF-8, the reference
+        falls back to the *lossy* vocab-string bytes (U+FFFD-substituted), not
+        the raw bytes (reference: src/tekkenizer.rs:680-693) — reproduced here.
+        """
+        if token_id >= self._vocab_size or token_id < 0:
+            raise InvalidConfigError(
+                f"Token ID {token_id} is out of vocabulary range "
+                f"(0-{self._vocab_size - 1})")
+
+        ns = self._num_special_tokens
+        if token_id < ns:
+            info = self._special_tokens[token_id]
+            if special_token_policy is SpecialTokenPolicy.KEEP:
+                return info.token_str.encode("utf-8")
+            if special_token_policy is SpecialTokenPolicy.RAISE:
+                raise SpecialTokenPolicyError(
+                    f"Token ID {token_id} is a special token "
+                    f"({info.token_str}), cannot convert to byte piece with "
+                    f"Raise policy")
+            return b""
+
+        rank = token_id - ns
+        n_ranks = len(self._decode_table.offsets) - 1
+        if rank >= n_ranks:
+            raise TokenizersError(
+                f"Failed to decode token ID {token_id} to bytes: rank out of "
+                f"range")
+        raw = self._decode_table.token_bytes(rank)
+        try:
+            raw.decode("utf-8")  # strict
+            return raw
+        except UnicodeDecodeError:
+            # lossy fallback via vocab string (reference: src/tekkenizer.rs:683-687)
+            return self._vocab_strings[token_id].encode("utf-8")
+
+    # ------------------------------------------------------------------ #
+    # audio
+    # ------------------------------------------------------------------ #
+
+    def encode_audio(self, audio: Audio) -> AudioEncoding:
+        """(reference: src/tekkenizer.rs:728-735)"""
+        if self._audio_encoder is None:
+            raise AudioError("Audio encoder not configured")
+        return self._audio_encoder.encode(audio)
+
+    def has_audio_support(self) -> bool:
+        return self._audio_encoder is not None
+
+    def audio_config(self) -> Optional[AudioConfig]:
+        return self._audio_config
+
+    # ------------------------------------------------------------------ #
+    # accelerated engines (TPU-native extensions)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def ranks(self) -> dict[bytes, int]:
+        """The engine-rank table (bytes -> rank)."""
+        return self._ranks
+
+    @property
+    def decode_table(self) -> DecodeTable:
+        return self._decode_table
+
+    def pair_table(self) -> PairTable:
+        """The (left_rank, right_rank) -> merged_rank hash table replicated to
+        device HBM for the Pallas/XLA merge kernels."""
+        if self._pair_table is None:
+            self._pair_table = PairTable.build(self._ranks)
+        return self._pair_table
+
+    def _get_jax_encoder(self):
+        if self._jax_encoder is None:
+            try:
+                from .ops.encode import JaxEncoder
+                self._jax_encoder = JaxEncoder(self)
+            except Exception:
+                self._jax_encoder = False
+        return self._jax_encoder or None
+
+    def _get_native_encoder(self):
+        if self._native_encoder is None:
+            if os.environ.get("TEKKEN_TPU_DISABLE_NATIVE"):
+                self._native_encoder = False
+            else:
+                try:
+                    from .native import NativeEncoder
+                    self._native_encoder = NativeEncoder(self)
+                except Exception:
+                    self._native_encoder = False
+        return self._native_encoder or None

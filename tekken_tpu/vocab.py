@@ -1,0 +1,198 @@
+"""Vocabulary loading and the device-table builder.
+
+Host-side preprocessing that turns a model file's vocab list into:
+
+1. ``mergeable_ranks``: dict bytes -> rank, with the reference's validation
+   rules (reference: src/tekkenizer.rs:776-816):
+   - vocab truncated to ``max_vocab`` entries (src/tekkenizer.rs:780-784)
+   - ranks < 256 must be exactly the single byte ``[rank]``
+     (src/tekkenizer.rs:792-798)
+   - the rank set must be contiguous ``0..len`` (src/tekkenizer.rs:804-813)
+
+2. ``PairTable``: the TPU-native replacement for byte-string hash lookups in
+   the BPE merge loop.  During a tiktoken-style merge every live segment is
+   itself a vocab token, so the "is concat(left,right) a token?" query can be
+   precomputed exactly as a map (left_rank, right_rank) -> merged_rank by
+   enumerating every two-token split of every vocab entry.  The map is packed
+   into an open-addressing hash table held as flat numpy arrays, replicated to
+   device HBM once and probed with vectorized gathers (north star:
+   "HashMap rank lookup -> sorted-array/hash-in-HBM gather").
+
+3. flat decode arrays: concatenated token bytes + offsets, for gather-based
+   decode of token ids back to byte spans.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import TokenInfo
+from .errors import Base64Error, InvalidConfigError
+
+
+def reload_mergeable_ranks(vocab: list[TokenInfo], max_vocab: int) -> dict[bytes, int]:
+    """Decode and validate the vocab into a bytes->rank map
+    (reference: src/tekkenizer.rs:776-816)."""
+    if len(vocab) > max_vocab:
+        vocab = vocab[:max_vocab]
+
+    ranks: dict[bytes, int] = {}
+    for token in vocab:
+        try:
+            token_bytes = base64.b64decode(token.token_bytes, validate=True)
+        except (binascii.Error, ValueError) as e:
+            raise Base64Error(str(e)) from e
+
+        if token.rank < 256 and token_bytes != bytes([token.rank]):
+            raise InvalidConfigError(
+                f"Expected byte token at rank {token.rank} to be "
+                f"[{token.rank}], got {list(token_bytes)}"
+            )
+        ranks[token_bytes] = token.rank
+
+    if set(ranks.values()) != set(range(len(ranks))):
+        raise InvalidConfigError("Vocabulary ranks are not contiguous")
+
+    return ranks
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+# Multiplicative hash constants (Fibonacci hashing on the packed 64-bit key).
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def pair_hash(left: np.ndarray, right: np.ndarray, table_size: int) -> np.ndarray:
+    """Hash a (left_rank, right_rank) pair into [0, table_size).
+
+    Operates on uint64 key = left << 21 | right (ranks < 2^21 for any
+    realistic vocab; V7 inner vocab is 130,072 < 2^18).  Same function is
+    mirrored in the device probe (ops/bpe.py) and the native engine.
+    """
+    key = (left.astype(np.uint64) << np.uint64(21)) | right.astype(np.uint64)
+    log2_size = int(table_size).bit_length() - 1  # table_size is a power of two
+    with np.errstate(over="ignore"):
+        h = (key * _HASH_MULT) >> np.uint64(64 - log2_size)
+    return h.astype(np.int64)
+
+
+@dataclass
+class PairTable:
+    """Open-addressing (linear probing) hash table of BPE merge pairs.
+
+    Arrays (all length ``size``, a power of two):
+      - ``keys``:   packed uint64 key (left<<21 | right), EMPTY = ~0
+      - ``values``: merged rank (int32), -1 where empty
+
+    ``max_probes`` bounds the longest probe chain so the device kernel can use
+    a static loop.
+    """
+
+    keys: np.ndarray
+    values: np.ndarray
+    size: int
+    max_probes: int
+    num_pairs: int
+
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @classmethod
+    def build(cls, ranks: dict[bytes, int], load_factor: float = 0.5) -> "PairTable":
+        # Enumerate all (left, right) -> merged splits.
+        pairs: list[tuple[int, int, int]] = []
+        for token_bytes, rank in ranks.items():
+            n = len(token_bytes)
+            if n < 2:
+                continue
+            for i in range(1, n):
+                l = ranks.get(token_bytes[:i])
+                if l is None:
+                    continue
+                r = ranks.get(token_bytes[i:])
+                if r is not None:
+                    pairs.append((l, r, rank))
+
+        num_pairs = len(pairs)
+        size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
+        keys = np.full(size, cls.EMPTY, dtype=np.uint64)
+        values = np.full(size, -1, dtype=np.int32)
+
+        if num_pairs:
+            arr = np.asarray(pairs, dtype=np.int64)
+            packed = (arr[:, 0].astype(np.uint64) << np.uint64(21)) | arr[:, 1].astype(np.uint64)
+            slots = pair_hash(arr[:, 0], arr[:, 1], size)
+            max_probes = 1
+            mask = size - 1
+            for k, slot, val in zip(packed, slots, arr[:, 2]):
+                probes = 1
+                s = int(slot)
+                while keys[s] != cls.EMPTY:
+                    # duplicate (same pair can only map to one merged rank —
+                    # bytes->rank is a function), skip re-insert
+                    if keys[s] == k:
+                        probes = 0
+                        break
+                    s = (s + 1) & mask
+                    probes += 1
+                if probes == 0:
+                    continue
+                keys[s] = k
+                values[s] = val
+                max_probes = max(max_probes, probes)
+        else:
+            max_probes = 1
+
+        return cls(keys=keys, values=values, size=size,
+                   max_probes=max_probes, num_pairs=num_pairs)
+
+    def lookup_host(self, left: int, right: int) -> int:
+        """Scalar host-side probe (for tests). Returns merged rank or -1."""
+        key = (np.uint64(left) << np.uint64(21)) | np.uint64(right)
+        s = int(pair_hash(np.asarray(left), np.asarray(right), self.size))
+        mask = self.size - 1
+        for _ in range(self.max_probes):
+            if self.keys[s] == key:
+                return int(self.values[s])
+            if self.keys[s] == self.EMPTY:
+                return -1
+            s = (s + 1) & mask
+        return -1
+
+
+@dataclass
+class DecodeTable:
+    """Flat byte-span arrays for rank -> bytes decode gathers.
+
+    ``flat``: all token bytes concatenated in rank order (uint8)
+    ``offsets``: int32 array of length n_ranks+1; token r spans
+    ``flat[offsets[r]:offsets[r+1]]``.
+    """
+
+    flat: np.ndarray
+    offsets: np.ndarray
+    max_token_len: int
+
+    @classmethod
+    def build(cls, ranks: dict[bytes, int]) -> "DecodeTable":
+        n = len(ranks)
+        by_rank: list[bytes] = [b""] * n
+        for token_bytes, rank in ranks.items():
+            by_rank[rank] = token_bytes
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        for r, b in enumerate(by_rank):
+            offsets[r + 1] = offsets[r] + len(b)
+        flat = np.frombuffer(b"".join(by_rank), dtype=np.uint8).copy()
+        max_len = max((len(b) for b in by_rank), default=0)
+        return cls(flat=flat, offsets=offsets, max_token_len=max_len)
+
+    def token_bytes(self, rank: int) -> bytes:
+        return self.flat[self.offsets[rank]:self.offsets[rank + 1]].tobytes()
