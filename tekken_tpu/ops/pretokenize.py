@@ -1,0 +1,308 @@
+r"""Vectorized Tekken pre-tokenizer: the regex splitter as data-parallel ops.
+
+North star: "regex splitter -> vectorized byte-class DFA scan".  Instead of a
+sequential backtracking regex (the reference delegates this to its external
+engine — reference: src/tekkenizer.rs:123,125), the hardcoded pattern
+
+    (?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|
+     ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+
+
+is compiled, by hand, into closed-form *piece-boundary rules* over character
+classes.  Because the pattern's matches tile the input, tokenization is fully
+determined by where matches *start*; leftmost-first alternation semantics
+reduce to per-run rules (derivation in the comments below), each computable
+with vectorized segmented scans — O(log n) depth, no sequential DFA walk at
+all.  This is strictly more parallel than a scan-based DFA and maps directly
+onto the VPU.
+
+Rule summary (char classes L=letter, N=number, W=whitespace, P=other):
+- N runs split into triples from the run start (``\p{N}{1,3}``); nothing
+  ever absorbs a digit.
+- An L run is absorbed into a preceding token iff the previous char is
+  non-newline whitespace (``[^\r\n\p{L}\p{N}]?\p{L}+`` via the ws-attach
+  rule) or a free length-1 P run (same alternative), including the
+  contraction split ``'s/'t/'re/'ve/'m/'ll/'d`` (case-insensitive, full
+  Unicode folding) which consumes 1-2 letters and re-starts a piece on the
+  remainder.
+- A P run starts a piece unless preceded by a literal space (`` ?[^\s...]+``),
+  and absorbs the maximal following ``[\r\n]*`` prefix of the next W run.
+- A W run (entered past any newline prefix absorbed by a preceding P token)
+  emits: the ``\s*[\r\n]+`` piece up to its last newline, then the tail
+  follows the (?!\S) backtracking rules — all but the last char as one piece,
+  with the final ws char attaching to a following letter run (any non-newline
+  ws) or punct run (space only), else standing alone.
+
+Verified against the scalar oracle (tests/test_pretokenize.py fuzz).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "data", "unicode_tables.npz")
+
+# class bits in the unicode table
+_LETTER, _NUMBER, _WS = 1, 2, 4
+# fold ids (tools/build_unicode_tables.py): 1..8 = s,t,r,e,v,m,l,d
+_F_S, _F_T, _F_R, _F_E, _F_V, _F_M, _F_L, _F_D = range(1, 9)
+
+
+@functools.lru_cache(maxsize=1)
+def unicode_tables() -> tuple[np.ndarray, np.ndarray]:
+    z = np.load(_DATA)
+    return z["cls"], z["fold"]
+
+
+# --------------------------------------------------------------------- #
+# segmented scans
+# --------------------------------------------------------------------- #
+
+def _seg_scan(values, reset, kind: str, reverse: bool = False):
+    """Segmented scan: within each segment (delimited by reset=True at its
+    first element), combine values left-to-right with ``kind``
+    ('max' | 'min' | 'first').  Runs as a log-depth associative scan."""
+    import jax
+    import jax.numpy as jnp
+
+    if reverse:
+        values = values[::-1]
+        reset = reset[::-1]
+
+    def combine(a, b):
+        va, ra = a
+        vb, rb = b
+        if kind == "max":
+            merged = jnp.maximum(va, vb)
+        elif kind == "min":
+            merged = jnp.minimum(va, vb)
+        else:  # 'first'
+            merged = va
+        return jnp.where(rb, vb, merged), ra | rb
+
+    out, _ = jax.lax.associative_scan(combine, (values, reset))
+    if reverse:
+        out = out[::-1]
+    return out
+
+
+# --------------------------------------------------------------------- #
+# char-level boundary computation
+# --------------------------------------------------------------------- #
+
+def _char_boundaries(cp, is_valid):
+    """Given codepoints cp[int32 n] and validity mask, return piece-start
+    flags (bool n) at char positions.  Pure jnp; jit/vmap friendly."""
+    import jax.numpy as jnp
+
+    cls_tab, fold_tab = unicode_tables()
+    cls_tab = jnp.asarray(cls_tab)
+    fold_tab = jnp.asarray(fold_tab)
+
+    n = cp.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    cp = jnp.where(is_valid, cp, 0)
+    cls = jnp.where(is_valid, cls_tab[cp], 0)
+    fold = jnp.where(is_valid, fold_tab[cp], 0)
+
+    is_l = (cls & _LETTER) != 0
+    is_n = (cls & _NUMBER) != 0
+    is_w = (cls & _WS) != 0
+    is_p = is_valid & ~is_l & ~is_n & ~is_w
+    is_nl = is_valid & ((cp == 0x0D) | (cp == 0x0A))
+    is_space = is_valid & (cp == 0x20)
+    is_apos = is_valid & (cp == 0x27)
+
+    # 4-way class id for run grouping (invalid = own class, inert)
+    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
+                                                        jnp.where(is_p, 3, 4))))
+
+    change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
+    run_start = _seg_scan(idx, change, "first")
+    change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
+    run_last = _seg_scan(idx, change_next, "first", reverse=True)
+    run_end = run_last + 1  # exclusive
+
+    def gather(arr, i, fill):
+        ok = (i >= 0) & (i < n)
+        return jnp.where(ok, arr[jnp.clip(i, 0, n - 1)], fill)
+
+    S = run_start
+    E = run_end
+
+    # per-run aggregates: suffix scans evaluated at the run start cover the
+    # whole run; gather that value back to every char of the run
+    BIG = jnp.int32(1 << 30)
+    nl_last_sfx = _seg_scan(jnp.where(is_nl, idx, -1), change_next, "max",
+                            reverse=True)
+    nl_last = gather(nl_last_sfx, S, -1)          # last \r\n in the run
+    non_nl_sfx = _seg_scan(jnp.where(~is_nl, idx, BIG), change_next, "min",
+                           reverse=True)
+    first_non_nl = gather(non_nl_sfx, S, BIG)     # first non-\r\n in the run
+
+    nvalid = jnp.sum(is_valid.astype(jnp.int32))
+    prev = S - 1                      # char before the run
+    prev_is_w = gather(is_w, prev, False)
+    prev_is_nl = gather(is_nl, prev, False)
+    prev_is_p = gather(is_p, prev, False)
+    prev_is_space = gather(is_space, prev, False)
+    prev_run_start = gather(run_start, prev, 0)
+    prev_run_len = jnp.where(prev >= 0, prev + 1 - prev_run_start, 0)
+    prev2_is_space = gather(is_space, S - 2, False)
+
+    # ---- contraction detection at a P-run position p (the apostrophe) ----
+    # free length-1 '[']'-run, not preceded by a literal space, followed by a
+    # letter run matching a branch of (?i:'s|'t|'re|'ve|'m|'ll|'d)
+    p_is_free_apos = (is_p & is_apos & (run_start == idx) & (run_end == idx + 1)
+                      & ~gather(is_space, idx - 1, False))
+    f1 = gather(fold, idx + 1, 0)
+    next_is_letter = gather(is_l, idx + 1, False)
+    l_run_end = gather(run_end, idx + 1, 0)       # end of the letter run
+    f2 = gather(fold, idx + 2, 0)
+    has_l2 = (idx + 2) < l_run_end
+    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
+    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
+                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
+    contraction = p_is_free_apos & next_is_letter & (one_letter | two_letter)
+    n_cons = jnp.where(two_letter, 2, 1)
+
+    # contraction info gathered from the char before an L-run start
+    prev_contraction = gather(contraction, prev, False)
+    prev_n_cons = gather(n_cons, prev, 1)
+
+    # ---- rule A: number runs split into triples ----
+    b_num = is_n & (((idx - S) % 3) == 0)
+
+    # ---- rule B/C: letter runs ----
+    absorbed = ((prev_is_w & ~prev_is_nl)
+                | (prev_is_p & (prev_run_len == 1) & ~prev2_is_space))
+    b_letter_start = is_l & (idx == S) & ~((S > 0) & absorbed)
+    # post-contraction remainder starts a fresh piece
+    b_letter_cont = is_l & prev_contraction & (idx == S + prev_n_cons) & (idx < E)
+
+    # ---- rule D: punct runs ----
+    b_punct = is_p & (idx == S) & ~((S > 0) & prev_is_space)
+
+    # ---- rule E: whitespace runs ----
+    # entry: past the [\r\n]* prefix absorbed by a preceding P token
+    entry = jnp.where(prev_is_p, jnp.minimum(first_non_nl, E), S)
+    t_nl_last = jnp.where(nl_last >= entry, nl_last, -1)
+    tail_start = jnp.where(t_nl_last >= 0, t_nl_last + 1, entry)
+    x_exists = E < nvalid
+    b_ws = is_w & (
+        ((idx == entry) & (entry < E))
+        | ((idx == tail_start) & (tail_start > entry) & (tail_start < E))
+        | ((idx == E - 1) & (E - 1 - tail_start >= 1) & x_exists)
+    )
+    # (whether the final ws char *attaches* to the following L/P run is
+    # enforced by the suppression terms in rules B and D, not here)
+
+    return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
+
+
+# --------------------------------------------------------------------- #
+# byte-level wrapper: UTF-8 structure + boundary flags
+# --------------------------------------------------------------------- #
+
+def byte_char_structure(byts, length):
+    """Vectorized UTF-8 decode over a padded byte buffer.
+
+    Returns (is_lead bool[L], cp int32[L] at lead positions) — cp is 0 at
+    non-lead/invalid positions.  Assumes well-formed UTF-8 (guaranteed for
+    text that came from a str/String).
+    """
+    import jax.numpy as jnp
+
+    L = byts.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    valid = idx < length
+    b = jnp.where(valid, byts, 0).astype(jnp.int32)
+
+    is_cont = (b & 0xC0) == 0x80
+    is_lead = valid & ~is_cont
+
+    def nxt(k):
+        j = idx + k
+        return jnp.where(j < L, byts[jnp.clip(j, 0, L - 1)].astype(jnp.int32) & 0x3F, 0)
+
+    b1, b2, b3 = nxt(1), nxt(2), nxt(3)
+    cp1 = b
+    cp2 = ((b & 0x1F) << 6) | b1
+    cp3 = ((b & 0x0F) << 12) | (b1 << 6) | b2
+    cp4 = ((b & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3
+    cp = jnp.where(b < 0x80, cp1,
+                   jnp.where(b < 0xE0, cp2,
+                             jnp.where(b < 0xF0, cp3, cp4)))
+    cp = jnp.where(is_lead, cp, 0)
+    return is_lead, cp
+
+
+def byte_boundaries(byts, length):
+    """Piece-start flags over a padded byte buffer (True at the lead byte of
+    each piece's first char).  jit-able: static shape, dynamic length."""
+    import jax.numpy as jnp
+
+    is_lead, cp = byte_char_structure(byts, length)
+    L = byts.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+
+    # compact chars: char k lives at byte position lead_pos[k]
+    char_idx = jnp.cumsum(is_lead.astype(jnp.int32)) - 1  # per byte
+    # scatter lead-byte positions / codepoints into char-order arrays
+    # (invalid rows routed out of bounds and dropped)
+    scatter_idx = jnp.where(is_lead, char_idx, L)
+    lead_pos = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(idx, mode="drop")
+    cp_char = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(cp, mode="drop")
+    nchars = jnp.sum(is_lead.astype(jnp.int32))
+    char_valid = jnp.arange(L, dtype=jnp.int32) < nchars
+
+    cb = _char_boundaries(cp_char, char_valid)
+
+    # map char boundaries back to byte positions
+    out = jnp.zeros(L, dtype=bool).at[
+        jnp.where(cb, lead_pos, L)].set(True, mode="drop")
+    # ensure padding never flagged
+    out = out & (idx < length)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# host convenience (testing / fallback)
+# --------------------------------------------------------------------- #
+
+@functools.lru_cache(maxsize=32)
+def _jitted_boundaries(L: int):
+    import jax
+    return jax.jit(byte_boundaries)
+
+
+def _bucket_len(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+def pretokenize_vec(text: str) -> list[str]:
+    """Split text with the vectorized boundary rules (host convenience,
+    differential-tested against oracle.pretokenize).  Pads to power-of-two
+    buckets so jit compiles once per bucket."""
+    import jax.numpy as jnp
+
+    data = text.encode("utf-8")
+    if not data:
+        return []
+    L = _bucket_len(len(data))
+    padded = np.zeros(L, dtype=np.uint8)
+    padded[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+    flags = np.asarray(_jitted_boundaries(L)(jnp.asarray(padded), len(data)))
+    starts = np.flatnonzero(flags[:len(data)])
+    out = []
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(data)
+        out.append(data[s:e].decode("utf-8"))
+    return out

@@ -67,22 +67,26 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-# Multiplicative hash constants (Fibonacci hashing on the packed 64-bit key).
-_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+# 32-bit mixing constants (Murmur3/xxHash finalizer style). 32-bit keys keep
+# the device probe free of the x64 flag; exactness comes from comparing the
+# stored (left, right) keys, not from the hash.
+_HC1 = np.uint32(0x9E3779B1)
+_HC2 = np.uint32(0x85EBCA77)
+_HC3 = np.uint32(0xC2B2AE3D)
 
 
 def pair_hash(left: np.ndarray, right: np.ndarray, table_size: int) -> np.ndarray:
-    """Hash a (left_rank, right_rank) pair into [0, table_size).
-
-    Operates on uint64 key = left << 21 | right (ranks < 2^21 for any
-    realistic vocab; V7 inner vocab is 130,072 < 2^18).  Same function is
-    mirrored in the device probe (ops/bpe.py) and the native engine.
-    """
-    key = (left.astype(np.uint64) << np.uint64(21)) | right.astype(np.uint64)
-    log2_size = int(table_size).bit_length() - 1  # table_size is a power of two
+    """Hash a (left_rank, right_rank) pair into [0, table_size) (a power of
+    two).  Mirrored exactly in the device probe (ops/bpe.py) and the native
+    engine (native/engine.cpp) — uint32 arithmetic only."""
+    l = left.astype(np.uint32)
+    r = right.astype(np.uint32)
     with np.errstate(over="ignore"):
-        h = (key * _HASH_MULT) >> np.uint64(64 - log2_size)
-    return h.astype(np.int64)
+        h = (l * _HC1) ^ (r * _HC2)
+        h ^= h >> np.uint32(15)
+        h *= _HC3
+        h ^= h >> np.uint32(13)
+    return (h & np.uint32(table_size - 1)).astype(np.int64)
 
 
 @dataclass
@@ -90,20 +94,19 @@ class PairTable:
     """Open-addressing (linear probing) hash table of BPE merge pairs.
 
     Arrays (all length ``size``, a power of two):
-      - ``keys``:   packed uint64 key (left<<21 | right), EMPTY = ~0
+      - ``key_left`` / ``key_right``: int32 pair key, -1 where empty
       - ``values``: merged rank (int32), -1 where empty
 
     ``max_probes`` bounds the longest probe chain so the device kernel can use
-    a static loop.
+    a static unrolled loop.
     """
 
-    keys: np.ndarray
+    key_left: np.ndarray
+    key_right: np.ndarray
     values: np.ndarray
     size: int
     max_probes: int
     num_pairs: int
-
-    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     @classmethod
     def build(cls, ranks: dict[bytes, int], load_factor: float = 0.5) -> "PairTable":
@@ -123,46 +126,42 @@ class PairTable:
 
         num_pairs = len(pairs)
         size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
-        keys = np.full(size, cls.EMPTY, dtype=np.uint64)
+        key_left = np.full(size, -1, dtype=np.int32)
+        key_right = np.full(size, -1, dtype=np.int32)
         values = np.full(size, -1, dtype=np.int32)
 
+        max_probes = 1
         if num_pairs:
             arr = np.asarray(pairs, dtype=np.int64)
-            packed = (arr[:, 0].astype(np.uint64) << np.uint64(21)) | arr[:, 1].astype(np.uint64)
             slots = pair_hash(arr[:, 0], arr[:, 1], size)
-            max_probes = 1
             mask = size - 1
-            for k, slot, val in zip(packed, slots, arr[:, 2]):
+            for (l, r, val), slot in zip(arr, slots):
                 probes = 1
                 s = int(slot)
-                while keys[s] != cls.EMPTY:
-                    # duplicate (same pair can only map to one merged rank —
-                    # bytes->rank is a function), skip re-insert
-                    if keys[s] == k:
-                        probes = 0
+                while key_left[s] >= 0:
+                    if key_left[s] == l and key_right[s] == r:
+                        probes = 0  # duplicate pair; bytes->rank is a function
                         break
                     s = (s + 1) & mask
                     probes += 1
                 if probes == 0:
                     continue
-                keys[s] = k
+                key_left[s] = l
+                key_right[s] = r
                 values[s] = val
                 max_probes = max(max_probes, probes)
-        else:
-            max_probes = 1
 
-        return cls(keys=keys, values=values, size=size,
-                   max_probes=max_probes, num_pairs=num_pairs)
+        return cls(key_left=key_left, key_right=key_right, values=values,
+                   size=size, max_probes=max_probes, num_pairs=num_pairs)
 
     def lookup_host(self, left: int, right: int) -> int:
         """Scalar host-side probe (for tests). Returns merged rank or -1."""
-        key = (np.uint64(left) << np.uint64(21)) | np.uint64(right)
         s = int(pair_hash(np.asarray(left), np.asarray(right), self.size))
         mask = self.size - 1
-        for _ in range(self.max_probes):
-            if self.keys[s] == key:
+        for _ in range(self.max_probes + 1):
+            if self.key_left[s] == left and self.key_right[s] == right:
                 return int(self.values[s])
-            if self.keys[s] == self.EMPTY:
+            if self.key_left[s] < 0:
                 return -1
             s = (s + 1) & mask
         return -1
