@@ -1,0 +1,145 @@
+"""Throughput benchmark: device encode bytes/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "bytes/s", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star target of
+1 GB/s/chip (the reference publishes no numbers of its own — BASELINE.md).
+
+The bench vocabulary is synthetic at real V7 scale (130,872 inner ranks,
+byte tokens + prefix-chain merge trees over the corpus word list), so merge
+cascades behave like worst-case natural text (every word fully merges,
+depth = word length).  Parity of every benchmarked batch is spot-checked
+against the scalar oracle.
+"""
+
+import base64
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+TARGET = 1e9  # bytes/s north-star
+
+
+def build_bench_vocab(words, inner_vocab=130_872):
+    """Byte tokens + prefix-chain tokens for corpus words (valid BPE merge
+    trees: each token splits into (prefix, last-byte))."""
+    from tekken_tpu.config import TokenInfo
+
+    tokens: list[bytes] = [bytes([i]) for i in range(256)]
+    seen = set(tokens)
+    for w in words:
+        b = w.encode("utf-8")
+        for k in range(2, len(b) + 1):
+            t = b[:k]
+            if t not in seen:
+                seen.add(t)
+                tokens.append(t)
+            if len(tokens) >= inner_vocab:
+                break
+        if len(tokens) >= inner_vocab:
+            break
+    return [
+        TokenInfo(rank=r, token_bytes=base64.b64encode(t).decode(),
+                  token_str=None)
+        for r, t in enumerate(tokens)
+    ]
+
+
+def build_corpus(words, rng, n_docs, doc_len):
+    docs = []
+    for _ in range(n_docs):
+        parts = []
+        size = 0
+        while size < doc_len - 16:
+            w = words[min(int(rng.paretovariate(1.1)) - 1, len(words) - 1)]
+            parts.append(w)
+            size += len(w) + 1
+            if rng.random() < 0.1:
+                parts.append(str(rng.randint(0, 999)))
+                size += 4
+            if rng.random() < 0.15:
+                parts[-1] += rng.choice(".,!?;:")
+        docs.append(" ".join(parts)[:doc_len])
+    return docs
+
+
+def main():
+    rng = random.Random(1234)
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(2, 11)))
+             for _ in range(40_000)]
+
+    t0 = time.time()
+    from tekken_tpu import Tekkenizer, TokenizerVersion
+    from tekken_tpu.models.synthetic import build_synthetic_model_data
+    from tekken_tpu.special_tokens import get_deprecated_special_tokens
+    from tekken_tpu.ops.flat import FlatEncoder
+    from tekken_tpu.oracle import encode_ranks
+
+    vocab = build_bench_vocab(words)
+    tok = Tekkenizer(
+        vocab=vocab,
+        special_tokens=get_deprecated_special_tokens(),
+        pattern=".*",
+        vocab_size=len(vocab) + 1000,
+        num_special_tokens=1000,
+        version=TokenizerVersion.V7,
+    )
+    sys.stderr.write(f"[bench] vocab {len(vocab)} built in "
+                     f"{time.time()-t0:.1f}s; pair table...\n")
+    t1 = time.time()
+    table = tok.pair_table()
+    sys.stderr.write(f"[bench] pair table: {table.num_pairs} pairs, size "
+                     f"{table.size}, max_probes {table.max_probes} "
+                     f"({time.time()-t1:.1f}s)\n")
+
+    B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
+    enc = FlatEncoder(tok, rows=B, row_len=R)
+    docs = build_corpus(words, rng, n_docs=B, doc_len=R)
+    batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
+
+    # parity spot check on a small prefix batch
+    got = enc.encode_batch(docs[:2])
+    for d, g in zip(docs[:2], got):
+        want = encode_ranks(d, tok.ranks)
+        assert g == want, "parity failure in bench batch"
+
+    import jax
+    buf, lengths = enc.pack(docs)
+    from tekken_tpu.ops.flat import encode_flat_fn
+    fn = encode_flat_fn(B, R, enc._max_probes)
+    jbuf = jax.numpy.asarray(buf)
+    jlen = jax.numpy.asarray(lengths)
+
+    # warmup / compile
+    t2 = time.time()
+    out = fn(jbuf, jlen, enc._key_left, enc._key_right, enc._values)
+    jax.block_until_ready(out)
+    sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
+                     f"{jax.devices()[0].platform}\n")
+
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+    t3 = time.time()
+    for _ in range(iters):
+        out = fn(jbuf, jlen, enc._key_left, enc._key_right, enc._values)
+    jax.block_until_ready(out)
+    dt = time.time() - t3
+    bps = batch_bytes * iters / dt
+
+    print(json.dumps({
+        "metric": "encode_bytes_per_sec_per_chip",
+        "value": round(bps, 1),
+        "unit": "bytes/s",
+        "vs_baseline": round(bps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
