@@ -101,7 +101,8 @@ def main():
                      f"({time.time()-t1:.1f}s)\n")
 
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
-    enc = FlatEncoder(tok, rows=B, row_len=R)
+    from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
+    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 8)
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
@@ -113,31 +114,51 @@ def main():
 
     import jax
     buf, lengths = enc.pack(docs)
-    from tekken_tpu.ops.flat import encode_flat_fn
-    fn = encode_flat_fn(B, R, enc._max_probes)
+    fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
 
-    # warmup / compile
+    # warmup / compile (int() readback = real synchronization; the axon
+    # tunnel's block_until_ready does not reliably block)
     t2 = time.time()
-    out = fn(jbuf, jlen, enc._key_left, enc._key_right, enc._values)
-    jax.block_until_ready(out)
+    out = fn(jbuf, jlen, enc._packed)
+    n0 = int(out[2])
     sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
-                     f"{jax.devices()[0].platform}\n")
+                     f"{jax.devices()[0].platform}; n_out {n0}\n")
 
     iters = int(os.environ.get("BENCH_ITERS", 8))
     t3 = time.time()
     for _ in range(iters):
-        out = fn(jbuf, jlen, enc._key_left, enc._key_right, enc._values)
-    jax.block_until_ready(out)
+        out = fn(jbuf, jlen, enc._packed)
+    n0 = int(out[2])
     dt = time.time() - t3
     bps = batch_bytes * iters / dt
+
+    # host-native engine detail (same corpus; thread-pooled C++ engine)
+    native_bps = None
+    try:
+        from tekken_tpu.native import NativeEncoder
+        ne = NativeEncoder(tok)
+        ne.encode_batch(docs[:4])  # warm
+        t4 = time.time()
+        ne.encode_batch(docs, n_threads=0)
+        native_bps = batch_bytes / (time.time() - t4)
+        sys.stderr.write(f"[bench] native host engine: "
+                         f"{native_bps/1e6:.1f} MB/s\n")
+    except Exception as e:  # pragma: no cover
+        sys.stderr.write(f"[bench] native engine unavailable: {e}\n")
 
     print(json.dumps({
         "metric": "encode_bytes_per_sec_per_chip",
         "value": round(bps, 1),
         "unit": "bytes/s",
         "vs_baseline": round(bps / TARGET, 4),
+        "detail": {
+            "device_packed_path_bytes_per_sec": round(bps, 1),
+            "native_host_engine_bytes_per_sec": (
+                round(native_bps, 1) if native_bps else None),
+            "target_bytes_per_sec": TARGET,
+        },
     }))
 
 

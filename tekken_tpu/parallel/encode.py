@@ -47,7 +47,10 @@ class DistributedEncoder:
 
     def _build_step(self):
         import jax
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         max_probes = self._max_probes

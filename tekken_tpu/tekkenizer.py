@@ -132,6 +132,7 @@ class Tekkenizer:
 
         # Lazily-built accelerated engines.
         self._pair_table: Optional[PairTable] = None
+        self._cuckoo_table = None
         self._jax_encoder = None
         self._native_encoder = None
 
@@ -408,6 +409,14 @@ class Tekkenizer:
         if self._pair_table is None:
             self._pair_table = PairTable.build(self._ranks)
         return self._pair_table
+
+    def cuckoo_table(self):
+        """Packed two-choice (cuckoo) pair table: exactly two row-gathers per
+        lookup; used by the optimized device kernels (ops/packed.py)."""
+        if self._cuckoo_table is None:
+            from .vocab import CuckooPairTable
+            self._cuckoo_table = CuckooPairTable.build(self._ranks)
+        return self._cuckoo_table
 
     def _get_jax_encoder(self):
         if self._jax_encoder is None:

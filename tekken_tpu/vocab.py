@@ -110,20 +110,7 @@ class PairTable:
 
     @classmethod
     def build(cls, ranks: dict[bytes, int], load_factor: float = 0.5) -> "PairTable":
-        # Enumerate all (left, right) -> merged splits.
-        pairs: list[tuple[int, int, int]] = []
-        for token_bytes, rank in ranks.items():
-            n = len(token_bytes)
-            if n < 2:
-                continue
-            for i in range(1, n):
-                l = ranks.get(token_bytes[:i])
-                if l is None:
-                    continue
-                r = ranks.get(token_bytes[i:])
-                if r is not None:
-                    pairs.append((l, r, rank))
-
+        pairs = _enumerate_pairs(ranks)
         num_pairs = len(pairs)
         size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
         key_left = np.full(size, -1, dtype=np.int32)
@@ -164,6 +151,104 @@ class PairTable:
             if self.key_left[s] < 0:
                 return -1
             s = (s + 1) & mask
+        return -1
+
+
+def _enumerate_pairs(ranks: dict[bytes, int]) -> list[tuple[int, int, int]]:
+    pairs: list[tuple[int, int, int]] = []
+    for token_bytes, rank in ranks.items():
+        n = len(token_bytes)
+        if n < 2:
+            continue
+        for i in range(1, n):
+            l = ranks.get(token_bytes[:i])
+            if l is None:
+                continue
+            r = ranks.get(token_bytes[i:])
+            if r is not None:
+                pairs.append((l, r, rank))
+    return pairs
+
+
+def cuckoo_hash(left, right, seed: int, table_size: int):
+    """Seeded pair hash into [0, table_size) — uint32 arithmetic, mirrored by
+    the device probe and the native engine."""
+    l = np.asarray(left).astype(np.uint32)
+    r = np.asarray(right).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = (l * _HC1) ^ (r * _HC2) ^ np.uint32(seed)
+        h ^= h >> np.uint32(15)
+        h *= _HC3
+        h ^= h >> np.uint32(13)
+    return (h & np.uint32(table_size - 1)).astype(np.int64)
+
+
+@dataclass
+class CuckooPairTable:
+    """Two-choice cuckoo hash table of merge pairs, packed for row gathers.
+
+    ``packed`` is int32 (size, 4): [key_left, key_right, merged_rank, 0]
+    with key_left == -1 marking empty slots.  A query probes exactly two
+    slots: ``cuckoo_hash(l, r, seed1)`` and ``cuckoo_hash(l, r, seed2)`` —
+    two 4-wide row gathers on device (measured to cost the same as scalar
+    gathers on TPU), two cache lines on host.
+    """
+
+    packed: np.ndarray
+    size: int
+    seed1: int
+    seed2: int
+    num_pairs: int
+
+    @classmethod
+    def build(cls, ranks: dict[bytes, int], load_factor: float = 0.45
+              ) -> "CuckooPairTable":
+        pairs = _enumerate_pairs(ranks)
+        num_pairs = len(pairs)
+        size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
+
+        rng = np.random.RandomState(0)
+        for _attempt in range(32):
+            seed1 = int(rng.randint(1, 1 << 31))
+            seed2 = int(rng.randint(1, 1 << 31))
+            packed = np.full((size, 4), -1, dtype=np.int32)
+            packed[:, 3] = 0
+            ok = True
+            max_kicks = 32 + 4 * max(1, num_pairs).bit_length()
+            for (l, r, v) in pairs:
+                cl, cr, cv = l, r, v
+                slot = int(cuckoo_hash(cl, cr, seed1, size))
+                use_second = False
+                placed = False
+                for _ in range(max_kicks):
+                    if packed[slot, 0] < 0:
+                        packed[slot] = (cl, cr, cv, 0)
+                        placed = True
+                        break
+                    # kick out the occupant
+                    ol, orr, ov = (int(packed[slot, 0]), int(packed[slot, 1]),
+                                   int(packed[slot, 2]))
+                    packed[slot] = (cl, cr, cv, 0)
+                    cl, cr, cv = ol, orr, ov
+                    # move occupant to its other slot
+                    s1 = int(cuckoo_hash(cl, cr, seed1, size))
+                    s2 = int(cuckoo_hash(cl, cr, seed2, size))
+                    slot = s2 if slot == s1 else s1
+                    use_second = not use_second
+                if not placed:
+                    ok = False
+                    break
+            if ok:
+                return cls(packed=packed, size=size, seed1=seed1, seed2=seed2,
+                           num_pairs=num_pairs)
+            size <<= 1  # give the next attempt more room
+        raise InvalidConfigError("cuckoo table build failed")
+
+    def lookup_host(self, left: int, right: int) -> int:
+        for seed in (self.seed1, self.seed2):
+            s = int(cuckoo_hash(left, right, seed, self.size))
+            if self.packed[s, 0] == left and self.packed[s, 1] == right:
+                return int(self.packed[s, 2])
         return -1
 
 

@@ -1,0 +1,109 @@
+"""Flat and packed device pipelines + distributed encoder parity."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from tekken_tpu.models import build_synthetic_tokenizer
+from tekken_tpu.oracle import encode_ranks
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return build_synthetic_tokenizer(num_merges=300, num_special_tokens=20)
+
+
+TEXTS = [
+    "hello world", "it's a test 123", "", "   whitespace   ",
+    "don't we've", "中文 mixed", "a b c d e f", "!!!\n\nnewlines",
+]
+
+
+def test_flat_encoder_parity(tok):
+    from tekken_tpu.ops.flat import FlatEncoder
+    enc = FlatEncoder(tok, rows=8, row_len=256)
+    got = enc.encode_batch(TEXTS)
+    for t, g in zip(TEXTS, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_encoder_parity(tok):
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    got = enc.encode_batch(TEXTS)
+    for t, g in zip(TEXTS, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_encoder_oversize_fallback(tok):
+    # pieces longer than the 32-lane bucket go through the host fallback
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=4, row_len=512)
+    texts = ["a" * 300, "normal text", " " * 100 + "end"]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_encoder_capacity_overflow_fallback(tok):
+    # digit-only docs make every byte a piece; tiny np_cap forces the
+    # whole-batch host fallback path
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=4, row_len=256, np_cap=64)
+    texts = ["12 34 56 78 90 " * 12, "ab " * 60]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_encoder_fuzz(tok):
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=16, row_len=512)
+    rng = random.Random(17)
+    alpha = string.ascii_letters + string.digits + " .,!?'\n\r\t"
+    for _ in range(5):
+        texts = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(0, 200)))
+                 for _ in range(rng.randint(1, 16))]
+        got = enc.encode_batch(texts)
+        for t, g in zip(texts, got):
+            assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_cuckoo_matches_linear_table(tok):
+    table = tok.pair_table()
+    cuckoo = tok.cuckoo_table()
+    rng = random.Random(5)
+    n = len(tok.ranks)
+    for _ in range(3000):
+        l, r = rng.randrange(n), rng.randrange(n)
+        assert cuckoo.lookup_host(l, r) == table.lookup_host(l, r)
+
+
+def test_distributed_encoder(tok):
+    import jax
+    from tekken_tpu.parallel.encode import DistributedEncoder
+    from tekken_tpu.parallel.mesh import make_dp_mesh
+
+    n = min(8, len(jax.devices()))
+    mesh = make_dp_mesh(n)
+    enc = DistributedEncoder(tok, mesh=mesh, rows=2 * n, row_len=128)
+    texts = [f"doc {i} it's 123" for i in range(2 * n)]
+    docs, total_bytes, total_tokens = enc.encode_batch(texts)
+    for t, g in zip(texts, docs):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+    assert total_bytes == sum(len(t.encode("utf-8")) for t in texts)
+    assert total_tokens == sum(len(d) for d in docs)
+
+
+def test_graft_entry():
+    import jax
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out[2]) > 0
