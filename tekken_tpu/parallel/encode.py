@@ -64,13 +64,15 @@ class DistributedEncoder:
             total_tokens = jax.lax.psum(n_out, "dp")
             return out, out_pos, n_out[None], total_bytes, total_tokens
 
-        sharded = shard_map(
-            shard_fn,
+        kwargs = dict(
             mesh=self.mesh,
             in_specs=(P("dp", None), P("dp"), P(), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
-            check_rep=False,
         )
+        try:
+            sharded = shard_map(shard_fn, check_vma=False, **kwargs)
+        except TypeError:  # older jax spells it check_rep
+            sharded = shard_map(shard_fn, check_rep=False, **kwargs)
         return jax.jit(sharded)
 
     def encode_step(self, buf: np.ndarray, lengths: np.ndarray):
