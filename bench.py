@@ -78,9 +78,7 @@ def main():
 
     t0 = time.time()
     from tekken_tpu import Tekkenizer, TokenizerVersion
-    from tekken_tpu.models.synthetic import build_synthetic_model_data
     from tekken_tpu.special_tokens import get_deprecated_special_tokens
-    from tekken_tpu.ops.flat import FlatEncoder
     from tekken_tpu.oracle import encode_ranks
 
     vocab = build_bench_vocab(words)

@@ -22,7 +22,6 @@ from ..config import ModelData, TekkenConfig, TokenInfo
 from ..oracle import pretokenize
 from ..special_tokens import SpecialTokenInfo, SpecialTokens
 from ..tekkenizer import Tekkenizer
-from ..config import TokenizerVersion
 
 
 def _byte_token_infos() -> list[TokenInfo]:

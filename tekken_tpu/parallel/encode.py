@@ -10,8 +10,6 @@ documents are independent), and byte/token counters are reduced with
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..ops.flat import flat_encode_impl

@@ -7,7 +7,7 @@ corpus shards data-parallel, counters reduced via psum over ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 
 def make_dp_mesh(n_devices: Optional[int] = None, devices=None):
