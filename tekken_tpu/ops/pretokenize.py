@@ -93,7 +93,164 @@ def _seg_scan(values, reset, kind: str, reverse: bool = False):
 # char-level boundary computation
 # --------------------------------------------------------------------- #
 
+def _shift(arr, k, fill):
+    """Value at idx+k as a static slice (cheap vector op, not a gather)."""
+    import jax.numpy as jnp
+
+    n = arr.shape[0]
+    if k == 0:
+        return arr
+    pad = jnp.full(min(abs(k), n), fill, dtype=arr.dtype)
+    if k > 0:
+        return jnp.concatenate([arr[k:], pad]) if k < n else jnp.full(
+            n, fill, arr.dtype)
+    return jnp.concatenate([pad, arr[:k]]) if -k < n else jnp.full(
+        n, fill, arr.dtype)
+
+
 def _char_boundaries(cp, is_valid):
+    """Piece-start flags at char positions — gather-free formulation.
+
+    Every rule of the Tekken pattern is expressed per-element with:
+    - constant shifts (static slices) for neighbor-char context,
+    - native cumulative scans:  run_start = cummax(idx at class changes),
+      u = last non-newline position <= i, f = first newline position >= i,
+    - one packed-cummax "broadcast from run start" for the single run-level
+      bit rule E needs (is the char before this whitespace run a P?).
+
+    Derivation notes (rule E, the whitespace run [S,E) with entry past the
+    ``[\\r\\n]*`` prefix a preceding P token absorbs):
+      i == entry      <=>  prev-run-not-P and i==S,  or  prev-run-P and
+                           ~is_nl(i) and all of [S,i) newline (u[i-1] < S)
+      i == tail_start (>entry) <=> is_nl(i-1), i-1 >= entry (u[i-1] >= S or
+                           prev-run-not-P), and no newline in [i,E)
+                           (f[i] >= E i.e. f[i] > i and next-run via
+                           change_next logic: f[i] beyond run end)
+      i == E-1 extra piece <=> change_next(i), the char i-1 is in the tail
+                           (same run, f[i-1] >= E), and X exists
+                           (valid(i+1)).
+    Fuzz-verified against the regex oracle (tools/fuzz_pretokenize.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cls_tab, fold_tab = unicode_tables()
+    cls_tab = jnp.asarray(cls_tab)
+    fold_tab = jnp.asarray(fold_tab)
+
+    n = cp.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    cp = jnp.where(is_valid, cp, 0)
+    cls = jnp.where(is_valid, cls_tab[cp], 0)
+    fold = jnp.where(is_valid, fold_tab[cp], 0)
+
+    is_l = (cls & _LETTER) != 0
+    is_n = (cls & _NUMBER) != 0
+    is_w = (cls & _WS) != 0
+    is_p = is_valid & ~is_l & ~is_n & ~is_w
+    is_nl = is_valid & ((cp == 0x0D) | (cp == 0x0A))
+    is_space = is_valid & (cp == 0x20)
+    is_apos = is_valid & (cp == 0x27)
+
+    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
+                                                        jnp.where(is_p, 3, 4))))
+
+    change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
+    change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
+
+    # native cumulative scans
+    S = jax.lax.cummax(jnp.where(change, idx, -1))          # run start
+    u = jax.lax.cummax(jnp.where(~is_nl & is_valid, idx, -1))  # last non-nl <= i
+    BIG = jnp.int32(1 << 30)
+    f = jax.lax.cummin(jnp.where(is_nl, idx, BIG)[::-1])[::-1]  # first nl >= i
+
+    # shifted neighbor context
+    p_is_w = _shift(is_w, -1, False)
+    p_is_nl = _shift(is_nl, -1, False)
+    p_is_p = _shift(is_p, -1, False)
+    p_is_space = _shift(is_space, -1, False)
+    p_change = _shift(change, -1, False)      # prev char starts its own run
+    p2_is_space = _shift(is_space, -2, False)
+    u_prev = _shift(u, -1, jnp.int32(-1))
+    f_prev = _shift(f, -1, BIG)
+    next_valid = _shift(is_valid, 1, False)
+
+    # ---- contraction at a free length-1 apostrophe run ----
+    f1 = _shift(fold, 1, jnp.uint8(0))
+    f2 = _shift(fold, 2, jnp.uint8(0))
+    next_is_letter = _shift(is_l, 1, False)
+    # char idx+2 is a letter in the same letter run as idx+1
+    has_l2 = _shift(is_l, 2, False) & ~_shift(change, 2, True)
+    p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
+    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
+    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
+                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
+    contraction = p_free_apos & next_is_letter & (one_letter | two_letter)
+    cons1 = contraction & one_letter
+    cons2 = contraction & two_letter
+
+    # ---- rule A: number runs split into triples ----
+    b_num = is_n & (((idx - S) % 3) == 0)
+
+    # ---- rule B: letter-run start (fires only at idx==S, so all context
+    # is plain shifts) ----
+    absorbed = ((p_is_w & ~p_is_nl)
+                | (p_is_p & p_change & ~p2_is_space))
+    b_letter_start = is_l & change & ~((idx > 0) & absorbed)
+
+    # ---- rule C: post-contraction remainder ----
+    b_letter_cont = is_l & ~change & (
+        (_shift(change, -1, False) & _shift(cons1, -2, False))
+        | (_shift(change, -2, False) & ~_shift(change, -1, False)
+           & _shift(cons2, -3, False))
+    )
+
+    # ---- rule D: punct-run start ----
+    b_punct = is_p & change & ~((idx > 0) & p_is_space)
+
+    # ---- rule E: whitespace runs ----
+    # broadcast "char before this run is P" from the run start via packed
+    # cummax (idx is strictly increasing, so the latest run start wins)
+    packed = jnp.where(change, idx * 2 + p_is_p.astype(jnp.int32), -1)
+    prev_run_is_p = (jax.lax.cummax(packed) & 1) == 1
+
+    run_continues = ~change  # i-1 is in the same run
+    # no newline from i to the run's end: first nl >= i lies beyond the run.
+    # Within a W run, "beyond the run" == f[i] > run_last; run_last is where
+    # change_next holds.  Equivalent per-element test: the first nl >= i is
+    # also >= the first position after the run; since the run is contiguous
+    # whitespace, f[i] outside [i, run_last] <=> f[i] > run_last.  We avoid
+    # run_last by noting nl chars are whitespace: f[i] stays within this run
+    # unless there is no nl left in it, in which case f[i] jumps past E
+    # (into a later run or BIG).  So test f[i] against the next change:
+    nxt_change_pos = jax.lax.cummin(
+        jnp.where(change_next, idx, BIG)[::-1])[::-1]  # run_last, per element
+    no_nl_to_end = f > nxt_change_pos
+    no_nl_to_end_prev = f_prev > nxt_change_pos  # i-1 same run => same run_last
+
+    is_entry = is_w & jnp.where(
+        prev_run_is_p,
+        ~is_nl & (u_prev < S),
+        change,
+    )
+    b_ws_entry = is_entry  # entry < E automatic (entry is a char of the run)
+
+    prev_ge_entry = jnp.where(prev_run_is_p, u_prev >= S, True)
+    b_ws_tail = (is_w & run_continues & p_is_nl & prev_ge_entry
+                 & no_nl_to_end & ~is_entry)
+
+    # lone/attached final char piece at E-1 when the tail has >= 2 chars,
+    # i.e. the previous char is already inside the tail
+    b_ws_last = (is_w & change_next & next_valid
+                 & run_continues & ~p_is_nl & no_nl_to_end_prev)
+
+    b_ws = b_ws_entry | b_ws_tail | b_ws_last
+
+    return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
+
+
+def _char_boundaries_scan(cp, is_valid):
     """Given codepoints cp[int32 n] and validity mask, return piece-start
     flags (bool n) at char positions.  Pure jnp; jit/vmap friendly."""
     import jax.numpy as jnp
