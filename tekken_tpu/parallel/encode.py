@@ -2,17 +2,17 @@
 
 TPU-native scale-out (new surface vs the reference, which is single-threaded
 — SURVEY.md section 2.3): document rows are sharded over the ``dp`` mesh
-axis, the pair table is replicated in every chip's HBM, each shard runs the
-flat encode kernel locally (document-granular data parallelism is exact:
-documents are independent), and byte/token counters are reduced with
-``psum`` collectives riding ICI.
+axis, the packed cuckoo pair table is replicated in every chip's HBM, each
+shard runs the packed encode kernel locally (document-granular data
+parallelism is exact: documents are independent), and byte/token counters
+are reduced with ``psum`` collectives riding ICI.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..ops.flat import flat_encode_impl
+from ..ops.packed import packed_encode_impl
 from .mesh import dp_sharded, make_dp_mesh, replicated
 
 
@@ -24,22 +24,22 @@ class DistributedEncoder:
     """
 
     def __init__(self, tokenizer, mesh=None, rows: int = 64,
-                 row_len: int = 1024):
-        import jax
-
+                 row_len: int = 1024, np_cap: int | None = None):
         self.mesh = mesh if mesh is not None else make_dp_mesh()
         n = self.mesh.devices.size
         if rows % n:
             raise ValueError(f"rows ({rows}) must divide mesh size ({n})")
         self._B = rows
         self._R = row_len
+        self._shard_cap = (np_cap if np_cap is not None
+                           else max(64, (rows // n) * row_len // 4))
 
-        table = tokenizer.pair_table()
-        self._max_probes = int(table.max_probes)
+        table = tokenizer.cuckoo_table()
+        self._seed1 = int(table.seed1)
+        self._seed2 = int(table.seed2)
         # broadcast once: replicated in HBM on every device
-        self._key_left = replicated(self.mesh, np.asarray(table.key_left))
-        self._key_right = replicated(self.mesh, np.asarray(table.key_right))
-        self._values = replicated(self.mesh, np.asarray(table.values))
+        self._packed = replicated(self.mesh, np.asarray(table.packed))
+        self._ranks = tokenizer.ranks
 
         self._step = self._build_step()
 
@@ -51,21 +51,21 @@ class DistributedEncoder:
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        max_probes = self._max_probes
+        seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
 
-        def shard_fn(byts, lengths, key_left, key_right, values):
-            # local shapes: (B/n, R)
-            out, out_pos, n_out = flat_encode_impl(
-                byts, lengths, key_left, key_right, values, max_probes)
-            local_bytes = jax.numpy.sum(lengths)
-            total_bytes = jax.lax.psum(local_bytes, "dp")
+        def shard_fn(byts, lengths, packed):
+            out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
+                byts, lengths, packed, seed1, seed2, np_cap=cap)
+            total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
-            return out, out_pos, n_out[None], total_bytes, total_tokens
+            return (out, out_pos, n_out[None], fb_start, fb_len, n_mp[None],
+                    total_bytes, total_tokens)
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(P("dp", None), P("dp"), P(), P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+            in_specs=(P("dp", None), P("dp"), P()),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                       P(), P()),
         )
         try:
             sharded = shard_map(shard_fn, check_vma=False, **kwargs)
@@ -76,16 +76,18 @@ class DistributedEncoder:
     def encode_step(self, buf: np.ndarray, lengths: np.ndarray):
         """One jitted distributed step over a packed (rows, row_len) buffer.
 
-        Returns (out, out_pos, n_out_per_shard, total_bytes, total_tokens) —
-        out/out_pos are dp-sharded flat arrays (one block per shard).
+        Returns (out, out_pos, n_out_per_shard, fb_start, fb_len,
+        n_mp_per_shard, total_bytes, total_tokens); out/out_pos are
+        dp-sharded flat arrays (one block per shard).
         """
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
-        return self._step(byts, lens, self._key_left, self._key_right,
-                          self._values)
+        return self._step(byts, lens, self._packed)
 
     def encode_batch(self, texts):
-        """Convenience: texts -> per-doc rank lists + counters."""
+        """Convenience: texts -> per-doc rank lists + psum'd counters."""
+        from ..oracle import byte_pair_merge
+
         if len(texts) > self._B:
             raise ValueError(f"{len(texts)} docs exceed {self._B} rows")
         buf = np.zeros((self._B, self._R), dtype=np.uint8)
@@ -99,24 +101,64 @@ class DistributedEncoder:
                 buf[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
             lengths[i] = len(d)
 
-        out, out_pos, n_out, total_bytes, total_tokens = self.encode_step(
-            buf, lengths)
+        (out, out_pos, n_out, fb_start, fb_len, n_mp, total_bytes,
+         total_tokens) = self.encode_step(buf, lengths)
 
         n_shards = self.mesh.devices.size
-        shard_n = self._B * self._R // n_shards
+        rows_per_shard = self._B // n_shards
+        shard_n = rows_per_shard * self._R
         out = np.asarray(out)
         out_pos = np.asarray(out_pos)
         n_out = np.asarray(n_out)
+        fb_start = np.asarray(fb_start)
+        fb_len = np.asarray(fb_len)
+        n_mp = np.asarray(n_mp)
+        flat = buf.reshape(-1)
 
         docs: list[list[int]] = []
-        # reassemble: shard s holds tokens for rows [s*B/n, (s+1)*B/n)
-        rows_per_shard = self._B // n_shards
+        corrected = False  # host fallbacks change the device token counts
         for s in range(n_shards):
+            if n_mp[s] > self._shard_cap:
+                corrected = True
+                # capacity overflow on this shard: re-encode its rows on host
+                from ..oracle import encode_ranks
+                for r in range(rows_per_shard):
+                    row = s * rows_per_shard + r
+                    data = flat[row * self._R:
+                                row * self._R + lengths[row]].tobytes()
+                    docs.append(encode_ranks(data.decode("utf-8"),
+                                             self._ranks))
+                continue
             block = out[s * shard_n:(s + 1) * shard_n][:n_out[s]]
             pos = out_pos[s * shard_n:(s + 1) * shard_n][:n_out[s]]
+            # splice host-fallback pieces (oversize) at their positions
+            fb_lo = s * (fb_start.shape[0] // n_shards)
+            fb_hi = (s + 1) * (fb_start.shape[0] // n_shards)
+            fb_items = [(int(a), int(b)) for a, b in
+                        zip(fb_start[fb_lo:fb_hi], fb_len[fb_lo:fb_hi])
+                        if a >= 0]
+            if fb_items:
+                ext_t, ext_p = [], []
+                base = s * shard_n
+                for a, l in fb_items:
+                    piece = flat[base + a: base + a + l].tobytes()
+                    toks = byte_pair_merge(piece, self._ranks)
+                    ext_t.extend(toks)
+                    ext_p.extend(
+                        (a + np.linspace(0, max(l - 1, 0),
+                                         len(toks)).astype(int)).tolist())
+                block = np.concatenate([block,
+                                        np.asarray(ext_t, np.int32)])
+                pos = np.concatenate([pos, np.asarray(ext_p, np.int32)])
+                o = np.argsort(pos, kind="stable")
+                block, pos = block[o], pos[o]
+                corrected = True
             rows = pos // self._R  # local row within shard
             cut = np.searchsorted(rows, np.arange(rows_per_shard + 1))
             for r in range(rows_per_shard):
                 docs.append(block[cut[r]:cut[r + 1]].tolist())
 
-        return docs[:len(texts)], int(total_bytes), int(total_tokens)
+        docs = docs[:len(texts)]
+        n_tokens = (sum(len(d) for d in docs) if corrected
+                    else int(total_tokens))
+        return docs, int(total_bytes), n_tokens
