@@ -1,0 +1,115 @@
+"""Data-parallel scaling-efficiency report.
+
+BASELINE configs[4]: sharded corpus, data-parallel encode over a mesh,
+replicated merge table, psum'd token counts, and a bytes/s scaling report
+with the >=80% 1 -> N efficiency target.
+
+On real multi-chip hardware this measures ICI-connected chips; in tests it
+runs over virtual CPU devices (xla_force_host_platform_device_count), which
+validates the sharding program (the efficiency numbers there mostly reflect
+host parallelism, not ICI).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .encode import DistributedEncoder
+from .mesh import make_dp_mesh
+
+
+@dataclass
+class ScalingPoint:
+    n_devices: int
+    bytes_per_sec: float
+    total_bytes: int
+    total_tokens: int
+
+
+@dataclass
+class ScalingReport:
+    points: list = field(default_factory=list)
+
+    def efficiency(self) -> float:
+        """bytes/s/device at max mesh vs single device."""
+        if len(self.points) < 2:
+            return 1.0
+        base = self.points[0]
+        last = self.points[-1]
+        per_dev_base = base.bytes_per_sec / base.n_devices
+        per_dev_last = last.bytes_per_sec / last.n_devices
+        return per_dev_last / per_dev_base
+
+    def summary(self) -> dict:
+        return {
+            "points": [
+                {"devices": p.n_devices,
+                 "bytes_per_sec": round(p.bytes_per_sec, 1)}
+                for p in self.points
+            ],
+            "scaling_efficiency": round(self.efficiency(), 4),
+        }
+
+
+def _sync(x) -> int:
+    return int(x)  # scalar readback = real synchronization
+
+
+def measure_scaling(tokenizer, device_counts, rows_per_device: int = 16,
+                    row_len: int = 1024, iters: int = 4,
+                    rng_seed: int = 0) -> ScalingReport:
+    """Measure distributed-encode throughput at each mesh size.
+
+    The per-device workload is constant (weak scaling): ``rows_per_device``
+    documents of ``row_len`` bytes per device.
+    """
+    import random
+
+    rng = random.Random(rng_seed)
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(2, 10)))
+             for _ in range(2000)]
+
+    def make_docs(n_docs):
+        docs = []
+        for _ in range(n_docs):
+            parts = []
+            size = 0
+            while size < row_len - 12:
+                w = rng.choice(words)
+                parts.append(w)
+                size += len(w) + 1
+            docs.append(" ".join(parts)[:row_len])
+        return docs
+
+    report = ScalingReport()
+    for n in device_counts:
+        mesh = make_dp_mesh(n)
+        rows = rows_per_device * n
+        enc = DistributedEncoder(tokenizer, mesh=mesh, rows=rows,
+                                 row_len=row_len)
+        docs = make_docs(rows)
+        buf = np.zeros((rows, row_len), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+        for i, t in enumerate(docs):
+            d = t.encode("utf-8")
+            buf[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+            lengths[i] = len(d)
+
+        out = enc.encode_step(buf, lengths)
+        total_bytes = _sync(out[-2])  # warmup + compile
+        t0 = time.time()
+        for _ in range(iters):
+            out = enc.encode_step(buf, lengths)
+        total_tokens = _sync(out[-1])
+        dt = (time.time() - t0) / iters
+        report.points.append(ScalingPoint(
+            n_devices=n,
+            bytes_per_sec=total_bytes / dt,
+            total_bytes=total_bytes,
+            total_tokens=total_tokens,
+        ))
+    return report
