@@ -17,6 +17,7 @@ import base64
 import json
 import os
 import random
+import subprocess
 import sys
 import time
 
@@ -25,6 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 TARGET = 1e9  # bytes/s north-star
+
+
+def tpu_healthy(timeout_s: int = 150) -> bool:
+    """Probe the TPU tunnel in a subprocess (it can wedge and hang any jax
+    call indefinitely); fall back to CPU when unhealthy."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    code = ("import jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.ones(8)*2); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return "ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def build_bench_vocab(words, inner_vocab=130_872):
@@ -71,6 +87,15 @@ def build_corpus(words, rng, n_docs, doc_len):
 
 
 def main():
+    platform_note = "tpu"
+    if not tpu_healthy():
+        sys.stderr.write("[bench] TPU tunnel unhealthy — falling back to "
+                         "CPU device path\n")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = "cpu-fallback"
+
     rng = random.Random(1234)
     words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
                      for _ in range(rng.randint(2, 11)))
@@ -91,12 +116,11 @@ def main():
         version=TokenizerVersion.V7,
     )
     sys.stderr.write(f"[bench] vocab {len(vocab)} built in "
-                     f"{time.time()-t0:.1f}s; pair table...\n")
+                     f"{time.time()-t0:.1f}s; cuckoo pair table...\n")
     t1 = time.time()
-    table = tok.pair_table()
-    sys.stderr.write(f"[bench] pair table: {table.num_pairs} pairs, size "
-                     f"{table.size}, max_probes {table.max_probes} "
-                     f"({time.time()-t1:.1f}s)\n")
+    table = tok.cuckoo_table()
+    sys.stderr.write(f"[bench] cuckoo table: {table.num_pairs} pairs, size "
+                     f"{table.size} ({time.time()-t1:.1f}s)\n")
 
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
     from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
@@ -156,6 +180,7 @@ def main():
             "native_host_engine_bytes_per_sec": (
                 round(native_bps, 1) if native_bps else None),
             "target_bytes_per_sec": TARGET,
+            "platform": platform_note,
         },
     }))
 

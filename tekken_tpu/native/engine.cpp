@@ -30,16 +30,23 @@ namespace {
 
 constexpr int32_t INF = INT32_MAX;
 
+struct Slot {
+  int32_t kl, kr, val, pad;
+};
+
 struct Engine {
-  std::vector<int32_t> key_left, key_right, values;
+  // packed cuckoo table: one 16-byte slot per entry (vocab.CuckooPairTable
+  // layout) — a probe touches at most two cache lines.
+  std::vector<Slot> table;
   uint32_t mask = 0;
-  int max_probes = 0;
+  uint32_t seed1 = 0, seed2 = 0;
   // unicode tables: cls bits 1=L 2=N 4=WS; fold 1..8 = s t r e v m l d
   std::vector<uint8_t> cls, fold;
 };
 
-inline uint32_t pair_hash(uint32_t l, uint32_t r, uint32_t mask) {
-  uint32_t h = (l * 0x9E3779B1u) ^ (r * 0x85EBCA77u);
+inline uint32_t pair_hash(uint32_t l, uint32_t r, uint32_t seed,
+                          uint32_t mask) {
+  uint32_t h = (l * 0x9E3779B1u) ^ (r * 0x85EBCA77u) ^ seed;
   h ^= h >> 15;
   h *= 0xC2B2AE3Du;
   h ^= h >> 13;
@@ -47,13 +54,12 @@ inline uint32_t pair_hash(uint32_t l, uint32_t r, uint32_t mask) {
 }
 
 inline int32_t probe(const Engine& e, int32_t l, int32_t r) {
-  uint32_t s = pair_hash((uint32_t)l, (uint32_t)r, e.mask);
-  for (int i = 0; i <= e.max_probes; i++) {
-    int32_t kl = e.key_left[s];
-    if (kl == l && e.key_right[s] == r) return e.values[s];
-    if (kl < 0) return INF;
-    s = (s + 1) & e.mask;
-  }
+  const Slot& a = e.table[pair_hash((uint32_t)l, (uint32_t)r, e.seed1,
+                                    e.mask)];
+  if (a.kl == l && a.kr == r) return a.val;
+  const Slot& b = e.table[pair_hash((uint32_t)l, (uint32_t)r, e.seed2,
+                                    e.mask)];
+  if (b.kl == l && b.kr == r) return b.val;
   return INF;
 }
 
@@ -115,12 +121,19 @@ enum Fold : uint8_t { F0 = 0, FS, FT, FR, FE, FV, FM, FL, FD };
 // alternation semantics of the hardcoded Tekken pattern (same rule
 // derivation as ops/pretokenize.py; fuzz-verified against the regex oracle).
 
-static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
-                         std::vector<int32_t>& starts) {
-  starts.clear();
-  // decode chars
+struct SplitScratch {
   std::vector<CharInfo> ci;
   std::vector<int32_t> off;
+};
+
+static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
+                         std::vector<int32_t>& starts, SplitScratch& ss) {
+  starts.clear();
+  // decode chars
+  std::vector<CharInfo>& ci = ss.ci;
+  std::vector<int32_t>& off = ss.off;
+  ci.clear();
+  off.clear();
   ci.reserve(len);
   off.reserve(len);
   const uint8_t* end = data + len;
@@ -228,12 +241,27 @@ static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
 // Leftmost-lowest-rank merge over one piece; byte ranks are the identity for
 // ranks < 256 (validated at vocab load, reference: src/tekkenizer.rs:792-798).
 
+struct MergeScratch {
+  std::vector<int32_t> rank, pr, nxt, prv;
+  void ensure(int32_t n) {
+    if ((int32_t)rank.size() < n) {
+      rank.resize(n);
+      pr.resize(n);
+      nxt.resize(n);
+      prv.resize(n);
+    }
+  }
+};
+
 static int32_t merge_piece(const Engine& e, const uint8_t* piece, int32_t n,
-                           int32_t* out) {
+                           int32_t* out, MergeScratch& s) {
   if (n == 0) return 0;
   if (n == 1) { out[0] = piece[0]; return 1; }
-  // rank[i], pair rank pr[i] between segment i and i+1
-  std::vector<int32_t> rank(n), pr(n), nxt(n), prv(n);
+  s.ensure(n);
+  int32_t* rank = s.rank.data();
+  int32_t* pr = s.pr.data();
+  int32_t* nxt = s.nxt.data();
+  int32_t* prv = s.prv.data();
   for (int32_t i = 0; i < n; i++) {
     rank[i] = piece[i];
     nxt[i] = i + 1;
@@ -268,16 +296,15 @@ static int32_t merge_piece(const Engine& e, const uint8_t* piece, int32_t n,
 
 extern "C" {
 
-void* tkn_create(const int32_t* key_left, const int32_t* key_right,
-                 const int32_t* values, int64_t size, int32_t max_probes,
-                 const uint8_t* cls_table, const uint8_t* fold_table,
-                 int64_t n_codepoints) {
+void* tkn_create(const int32_t* packed, int64_t size, int32_t seed1,
+                 int32_t seed2, const uint8_t* cls_table,
+                 const uint8_t* fold_table, int64_t n_codepoints) {
   Engine* e = new Engine();
-  e->key_left.assign(key_left, key_left + size);
-  e->key_right.assign(key_right, key_right + size);
-  e->values.assign(values, values + size);
+  e->table.resize(size);
+  std::memcpy(e->table.data(), packed, size * sizeof(Slot));
   e->mask = (uint32_t)(size - 1);
-  e->max_probes = max_probes;
+  e->seed1 = (uint32_t)seed1;
+  e->seed2 = (uint32_t)seed2;
   e->cls.assign(cls_table, cls_table + n_codepoints);
   e->fold.assign(fold_table, fold_table + n_codepoints);
   return e;
@@ -290,12 +317,14 @@ int64_t tkn_encode(void* h, const uint8_t* data, int64_t len, int32_t* out,
                    int64_t out_cap) {
   Engine& e = *(Engine*)h;
   if (out_cap < len) return -1;  // output can never exceed byte count
-  std::vector<int32_t> starts;
-  split_pieces(e, data, (int32_t)len, starts);
+  thread_local std::vector<int32_t> starts;
+  thread_local SplitScratch ss;
+  thread_local MergeScratch ms;
+  split_pieces(e, data, (int32_t)len, starts, ss);
   int64_t cnt = 0;
   for (size_t i = 0; i + 1 < starts.size(); i++) {
     cnt += merge_piece(e, data + starts[i], starts[i + 1] - starts[i],
-                       out + cnt);
+                       out + cnt, ms);
   }
   return cnt;
 }

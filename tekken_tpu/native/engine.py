@@ -26,7 +26,7 @@ def _load():
         build()
     lib = ctypes.CDLL(LIB)
     lib.tkn_create.restype = ctypes.c_void_p
-    lib.tkn_create.argtypes = [_i32p, _i32p, _i32p, ctypes.c_int64,
+    lib.tkn_create.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
                                ctypes.c_int32, _i8p, _i8p, ctypes.c_int64]
     lib.tkn_destroy.argtypes = [ctypes.c_void_p]
     lib.tkn_encode.restype = ctypes.c_int64
@@ -49,16 +49,15 @@ class NativeEncoder:
         global _LIB
         if _LIB is None:
             _LIB = _load()
-        table = tokenizer.pair_table()
+        table = tokenizer.cuckoo_table()
         cls_tab, fold_tab = unicode_tables()
         self._cls = np.ascontiguousarray(cls_tab)
         self._fold = np.ascontiguousarray(fold_tab)
-        self._kl = np.ascontiguousarray(table.key_left)
-        self._kr = np.ascontiguousarray(table.key_right)
-        self._vals = np.ascontiguousarray(table.values)
+        self._packed = np.ascontiguousarray(table.packed.reshape(-1))
         self._h = _LIB.tkn_create(
-            self._kl, self._kr, self._vals, table.size,
-            int(table.max_probes), self._cls, self._fold, len(self._cls))
+            self._packed, table.size, int(table.seed1) & 0x7FFFFFFF,
+            int(table.seed2) & 0x7FFFFFFF, self._cls, self._fold,
+            len(self._cls))
         if not self._h:
             raise RuntimeError("tkn_create failed")
 

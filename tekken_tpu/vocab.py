@@ -207,38 +207,54 @@ class CuckooPairTable:
         num_pairs = len(pairs)
         size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
 
+        def hash_py(l, r, seed, mask):
+            # pure-int mirror of cuckoo_hash (uint32 arithmetic)
+            h = (((l * 0x9E3779B1) ^ (r * 0x85EBCA77) ^ seed)) & 0xFFFFFFFF
+            h ^= h >> 15
+            h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
+            h ^= h >> 13
+            return h & mask
+
         rng = np.random.RandomState(0)
         for _attempt in range(32):
             seed1 = int(rng.randint(1, 1 << 31))
             seed2 = int(rng.randint(1, 1 << 31))
-            packed = np.full((size, 4), -1, dtype=np.int32)
-            packed[:, 3] = 0
+            mask = size - 1
+            if num_pairs:
+                arr = np.asarray(pairs, dtype=np.int64)
+                h1 = cuckoo_hash(arr[:, 0], arr[:, 1], seed1, size)
+                h2 = cuckoo_hash(arr[:, 0], arr[:, 1], seed2, size)
+            else:
+                arr = np.zeros((0, 3), dtype=np.int64)
+                h1 = h2 = np.zeros(0, dtype=np.int64)
+            # python-list slot store (fast scalar access during kicks)
+            slot_kl = [-1] * size
+            slot_kr = [-1] * size
+            slot_v = [0] * size
             ok = True
-            max_kicks = 32 + 4 * max(1, num_pairs).bit_length()
-            for (l, r, v) in pairs:
-                cl, cr, cv = l, r, v
-                slot = int(cuckoo_hash(cl, cr, seed1, size))
-                use_second = False
+            max_kicks = 64 + 4 * max(1, num_pairs).bit_length()
+            for i in range(num_pairs):
+                cl, cr, cv = int(arr[i, 0]), int(arr[i, 1]), int(arr[i, 2])
+                slot = int(h1[i])
                 placed = False
                 for _ in range(max_kicks):
-                    if packed[slot, 0] < 0:
-                        packed[slot] = (cl, cr, cv, 0)
+                    if slot_kl[slot] < 0:
+                        slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
                         placed = True
                         break
-                    # kick out the occupant
-                    ol, orr, ov = (int(packed[slot, 0]), int(packed[slot, 1]),
-                                   int(packed[slot, 2]))
-                    packed[slot] = (cl, cr, cv, 0)
+                    ol, orr, ov = slot_kl[slot], slot_kr[slot], slot_v[slot]
+                    slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
                     cl, cr, cv = ol, orr, ov
-                    # move occupant to its other slot
-                    s1 = int(cuckoo_hash(cl, cr, seed1, size))
-                    s2 = int(cuckoo_hash(cl, cr, seed2, size))
-                    slot = s2 if slot == s1 else s1
-                    use_second = not use_second
+                    s1 = hash_py(cl, cr, seed1, mask)
+                    slot = hash_py(cl, cr, seed2, mask) if slot == s1 else s1
                 if not placed:
                     ok = False
                     break
             if ok:
+                packed = np.zeros((size, 4), dtype=np.int32)
+                packed[:, 0] = slot_kl
+                packed[:, 1] = slot_kr
+                packed[:, 2] = slot_v
                 return cls(packed=packed, size=size, seed1=seed1, seed2=seed2,
                            num_pairs=num_pairs)
             size <<= 1  # give the next attempt more room
