@@ -223,6 +223,21 @@ class AudioEncoder:
         tokens = [self.begin_audio_token_id] + [self.audio_token_id] * num_audio_tokens
         return AudioEncoding(tokens=tokens, audio=audio)
 
+    def encode_batch(self, audios: list) -> list:
+        """Batched encode (TPU-native extension; BASELINE configs[3]
+        'batched files').  Framing math is per-clip; the heavy spectrogram
+        path is the batched device op in ops/mel.py."""
+        return [self.encode(a) for a in audios]
+
+    def mel_spectrogram(self, waveforms, log: bool = True):
+        """Batched (log-)mel spectrogram of already-resampled waveforms
+        (batch, n) -> (batch, n_frames, num_mel_bins) via the XLA FFT+matmul
+        op (ops/mel.py)."""
+        from .ops.mel import mel_spectrogram as _mel
+
+        return _mel(waveforms, self.config.audio_encoding_config,
+                    self.config.sampling_rate, log=log)
+
 
 def hertz_to_mel(freq: float) -> float:
     """Slaney-style Hz -> mel (reference: src/audio.rs:611-621)."""

@@ -270,8 +270,48 @@ class Tekkenizer:
         return out
 
     # ------------------------------------------------------------------ #
+    # serialization (TPU-native extension; the reference's config structs
+    # are Serialize-capable but unused — SURVEY.md section 5.4)
+    # ------------------------------------------------------------------ #
+
+    def to_model_data(self) -> ModelData:
+        """Reconstruct a ModelData equivalent to this tokenizer."""
+        import base64 as _b64
+
+        n_ranks = len(self._decode_table.offsets) - 1
+        vocab = [
+            TokenInfo(rank=r,
+                      token_bytes=_b64.b64encode(
+                          self._decode_table.token_bytes(r)).decode("ascii"),
+                      token_str=None)
+            for r in range(n_ranks)
+        ]
+        from .config import TekkenConfig
+        config = TekkenConfig(
+            pattern=self._pattern,
+            num_vocab_tokens=n_ranks,
+            default_vocab_size=self._vocab_size,
+            default_num_special_tokens=self._num_special_tokens,
+            version=self._version.as_str(),
+        )
+        return ModelData(vocab=vocab, config=config,
+                         special_tokens=list(self._special_tokens),
+                         audio=self._audio_config)
+
+    def save(self, path) -> None:
+        """Write a ``tekken.json`` model file that round-trips through
+        ``from_file``."""
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_model_data().to_json())
+
+    # ------------------------------------------------------------------ #
     # decode
     # ------------------------------------------------------------------ #
+
+    def decode_batch(self, token_lists,
+                     special_token_policy: SpecialTokenPolicy) -> list[str]:
+        """Batched decode convenience (TPU-native extension)."""
+        return [self.decode(t, special_token_policy) for t in token_lists]
 
     def decode(self, tokens: Sequence[int],
                special_token_policy: SpecialTokenPolicy) -> str:
@@ -383,6 +423,12 @@ class Tekkenizer:
         if self._audio_encoder is None:
             raise AudioError("Audio encoder not configured")
         return self._audio_encoder.encode(audio)
+
+    def encode_audio_batch(self, audios: Sequence[Audio]) -> list[AudioEncoding]:
+        """Batched audio encode (TPU-native extension)."""
+        if self._audio_encoder is None:
+            raise AudioError("Audio encoder not configured")
+        return self._audio_encoder.encode_batch(list(audios))
 
     def has_audio_support(self) -> bool:
         return self._audio_encoder is not None
