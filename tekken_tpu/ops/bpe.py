@@ -150,3 +150,75 @@ def make_merge_bucket(P: int, max_probes: int):
 @functools.lru_cache(maxsize=16)
 def merge_bucket_fn(P: int, max_probes: int):
     return make_merge_bucket(P, max_probes)
+
+
+def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int):
+    """Per-row argmin BPE merge in a compact-shift layout.
+
+    rank: (B, P) segment ranks, left-aligned (-1 pad); pr: (B, P) pair ranks
+    (pr[:, i] pairs segment i with i+1; INF where absent); n_seg: (B,).
+    Each round merges the lowest-rank pair in every row simultaneously and
+    closes the gap with a lane shift (pure selects — no pointer arrays, no
+    scatters; the only gathers are two neighbor reads and two cuckoo
+    probes).  Returns (rank, n_seg) with results still left-aligned.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .packed import probe2
+
+    B, P = rank.shape
+    lane = jnp.arange(P, dtype=jnp.int32)[None, :]
+
+    def take(arr, i, fill):
+        ok = (i >= 0) & (i < P)
+        v = jnp.take_along_axis(arr, jnp.clip(i, 0, P - 1)[:, None],
+                                axis=1)[:, 0]
+        return jnp.where(ok, v, fill)
+
+    def cond(state):
+        return jnp.any(jnp.min(state[1], axis=1) < INF)
+
+    def body(state):
+        rank, pr, n_seg = state
+        mrank = jnp.min(pr, axis=1)
+        q = jnp.argmin(pr, axis=1).astype(jnp.int32)   # leftmost min
+        do = mrank < INF
+        qb = q[:, None]
+
+        # neighbor segments (pre-shift indexing)
+        left = take(rank, q - 1, -1)                   # exists iff q >= 1
+        right2 = take(rank, q + 2, -1)                 # new right neighbor
+
+        n_new = n_seg - do.astype(jnp.int32)
+        right_ok = do & (q + 2 < n_seg)
+        left_ok = do & (q >= 1)
+
+        new_pq = probe2(jnp.where(do, mrank, -1),
+                        jnp.where(right_ok, right2, -1),
+                        packed_table, seed1, seed2)
+        new_pl = probe2(jnp.where(left_ok, left, -1),
+                        jnp.where(do, mrank, -1),
+                        packed_table, seed1, seed2)
+
+        rank_sh = jnp.concatenate(
+            [rank[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+        pr_sh = jnp.concatenate(
+            [pr[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1)
+
+        rank = jnp.where(do[:, None],
+                         jnp.where(lane < qb, rank,
+                                   jnp.where(lane == qb, mrank[:, None],
+                                             rank_sh)),
+                         rank)
+        pr = jnp.where(do[:, None],
+                       jnp.where(lane < qb - 1, pr,
+                                 jnp.where(lane == qb - 1, new_pl[:, None],
+                                           jnp.where(lane == qb,
+                                                     new_pq[:, None],
+                                                     pr_sh))),
+                       pr)
+        return rank, pr, n_new
+
+    rank, pr, n_seg = jax.lax.while_loop(cond, body, (rank, pr, n_seg))
+    return rank, n_seg

@@ -123,74 +123,31 @@ def packed_encode_impl(byts, lengths, packed_table, seed1: int, seed2: int,
         flat_pr, mode="drop")
     start0 = jnp.full((NP,), -1, jnp.int32).at[
         jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(pstart, mode="drop")
+    nseg0 = jnp.full((NP,), 0, jnp.int32).at[
+        jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(plen, mode="drop")
     fb_start = jnp.full((NP,), -1, jnp.int32).at[
         jnp.where(mp_mark & fb_piece, mp_id, NP)].set(pstart, mode="drop")
     fb_len = jnp.full((NP,), 0, jnp.int32).at[
         jnp.where(mp_mark & fb_piece, mp_id, NP)].set(plen, mode="drop")
 
-    # --- bucketed merge rounds ---
+    # --- bucketed merge rounds (compact-shift layout, ops/bpe.py) ---
+    from .bpe import merge_rows_compact
+
     pos = jnp.arange(P_LANES, dtype=jnp.int32)[None, :]
-    nxt = jnp.broadcast_to(pos + 1, (NP, P_LANES)).astype(jnp.int32)
-    prv = jnp.broadcast_to(pos - 1, (NP, P_LANES)).astype(jnp.int32)
-    alive = ranks0 >= 0
-    rank = ranks0
-    pr = pr0
-
-    def gather_row(arr, i, fill):
-        okk = (i >= 0) & (i < P_LANES)
-        v = jnp.take_along_axis(arr, jnp.clip(i, 0, P_LANES - 1)[:, None],
-                                axis=1)[:, 0]
-        return jnp.where(okk, v, fill)
-
-    def cond(state):
-        return jnp.any(jnp.min(state[1], axis=1) < INF)
-
-    def body(state):
-        rank, pr, nxt, prv, alive = state
-        m = jnp.argmin(pr, axis=1).astype(jnp.int32)
-        mrank = jnp.take_along_axis(pr, m[:, None], axis=1)[:, 0]
-        do = mrank < INF
-
-        j = gather_row(nxt, m, P_LANES)
-        nj = gather_row(nxt, j, P_LANES)
-
-        at_m = do[:, None] & (pos == m[:, None])
-        at_j = do[:, None] & (pos == j[:, None])
-
-        rank = jnp.where(at_m, mrank[:, None], rank)
-        alive = alive & ~at_j
-        nxt = jnp.where(at_m, nj[:, None], nxt)
-        prv = jnp.where((do & (nj < P_LANES))[:, None]
-                        & (pos == nj[:, None]), m[:, None], prv)
-        pr = jnp.where(at_j, INF, pr)
-
-        r_nj = gather_row(rank, nj, -1)
-        new_pm = probe2(jnp.where(do, mrank, -1), r_nj,
-                        packed_table, seed1, seed2)
-        pr = jnp.where(at_m, new_pm[:, None], pr)
-
-        pm = gather_row(prv, m, -1)
-        r_pm = jnp.where(gather_row(alive, pm, False),
-                         gather_row(rank, pm, -1), -1)
-        new_pp = probe2(r_pm, jnp.where(do, mrank, -1),
-                        packed_table, seed1, seed2)
-        pr = pr.at[jnp.arange(NP), jnp.clip(pm, 0, P_LANES - 1)].set(
-            jnp.where(do & (pm >= 0), new_pp,
-                      pr[jnp.arange(NP), jnp.clip(pm, 0, P_LANES - 1)]))
-
-        return rank, pr, nxt, prv, alive
-
-    rank, pr, nxt, prv, alive = jax.lax.while_loop(
-        cond, body, (rank, pr, nxt, prv, alive))
+    rank, n_seg = merge_rows_compact(ranks0, pr0, nseg0, packed_table,
+                                     seed1, seed2)
 
     # --- scatter merged tokens back to flat byte positions ---
     # token present at byte position b iff:
-    #   single-byte piece start, or matrix lane alive
+    #   single-byte piece start, or a surviving compacted lane.  Compacted
+    #   lane k of row r maps to byte position start0[r] + k: unique and
+    #   order-preserving because a piece's token count never exceeds its
+    #   byte length.
     tok_flat = jnp.full(N, -1, jnp.int32)
     single = is_pstart & (plen == 1)
     tok_flat = jnp.where(single, byte_rank, tok_flat)
     lane_byte_pos = start0[:, None] + pos            # (NP, P)
-    lane_ok = alive & (start0[:, None] >= 0)
+    lane_ok = (pos < n_seg[:, None]) & (start0[:, None] >= 0)
     tok_flat = tok_flat.at[
         jnp.where(lane_ok, lane_byte_pos, N)].set(
         jnp.where(lane_ok, rank, -1), mode="drop")
