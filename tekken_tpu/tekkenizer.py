@@ -248,10 +248,11 @@ class Tekkenizer:
     ) -> list[list[int]]:
         """Batched encode through the XLA device path (TPU-native extension).
 
-        Falls back to the host engine per-string if the device path is
-        unavailable for a given input.
+        Uses the packed device kernel (ops/packed.py) with power-of-two
+        shape buckets; falls back to the host engine if the device path is
+        unavailable.
         """
-        enc = self._get_jax_encoder()
+        enc = self._get_packed_encoder(texts)
         if enc is not None:
             rank_lists = enc.encode_batch(texts)
         else:
@@ -472,6 +473,37 @@ class Tekkenizer:
             except Exception:
                 self._jax_encoder = False
         return self._jax_encoder or None
+
+    def _get_packed_encoder(self, texts):
+        """Packed-kernel encoder sized to power-of-two shape buckets (one
+        compile per bucket)."""
+        if not hasattr(self, "_packed_encoders"):
+            self._packed_encoders = {}
+        if self._packed_encoders is None:
+            return None
+
+        def pow2(n, lo):
+            b = lo
+            while b < n:
+                b <<= 1
+            return b
+
+        max_len = max((len(t.encode("utf-8")) for t in texts), default=1)
+        rows = pow2(max(1, len(texts)), 8)
+        row_len = pow2(max_len, 256)
+        if rows * row_len > (1 << 24):  # cap device buffer at 16MB
+            return None
+        key = (rows, row_len)
+        enc = self._packed_encoders.get(key)
+        if enc is None:
+            try:
+                from .ops.packed import PackedEncoder
+                enc = PackedEncoder(self, rows=rows, row_len=row_len)
+            except Exception:
+                self._packed_encoders = None
+                return None
+            self._packed_encoders[key] = enc
+        return enc
 
     def _get_native_encoder(self):
         if self._native_encoder is None:
