@@ -57,8 +57,8 @@ def probe2(left, right, packed, seed1: int, seed2: int):
     return jnp.where(valid, out, INF)
 
 
-def packed_encode_impl(byts, lengths, packed_table, seed1: int, seed2: int,
-                       np_cap: int | None = None):
+def packed_encode_impl(byts, lengths, packed_table, dense_tab,
+                       seed1: int, seed2: int, np_cap: int | None = None):
     """Encode a (B, R) document-row buffer.
 
     Returns (out i32[N] left-aligned tokens, out_pos i32[N] flat byte pos,
@@ -105,13 +105,15 @@ def packed_encode_impl(byts, lengths, packed_table, seed1: int, seed2: int,
     # fallback: oversize (len > P) or capacity overflow
     fb_piece = mergeable & ((plen > P_LANES) | (mp_id >= NP))
 
-    # --- initial pair ranks in flat space (probe only real bytes) ---
+    # --- initial pair ranks in flat space: segments start as single
+    # bytes, so every first-round query is a (byte, byte) pair — one gather
+    # from the dense 64K-entry table instead of two cuckoo probes ---
     nxt_rank = jnp.concatenate([byte_rank[1:], jnp.full(1, -1, jnp.int32)])
     same_piece = jnp.concatenate([boundary[1:] == False,  # noqa: E712
                                   jnp.zeros(1, dtype=bool)]) & valid
-    flat_pr = probe2(byte_rank, jnp.where(same_piece, nxt_rank, -1),
-                     packed_table, seed1, seed2)
-    flat_pr = jnp.where(same_piece & mergeable, flat_pr, INF)
+    q_ok = same_piece & mergeable & (nxt_rank >= 0)
+    dense_idx = jnp.where(q_ok, byte_rank * 256 + nxt_rank, 0)
+    flat_pr = jnp.where(q_ok, dense_tab[dense_idx], INF)
 
     # --- scatter into (NP, P) matrices ---
     ok = in_matrix & ~fb_piece
@@ -182,6 +184,7 @@ class PackedEncoder:
 
         table = tokenizer.cuckoo_table()
         self._packed = jnp.asarray(table.packed)
+        self._dense = jnp.asarray(table.byte_pair_dense())
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
         self._B = rows
@@ -213,7 +216,7 @@ class PackedEncoder:
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap)
         out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
-            jnp.asarray(buf), jnp.asarray(lengths), self._packed)
+            jnp.asarray(buf), jnp.asarray(lengths), self._packed, self._dense)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

@@ -39,6 +39,7 @@ class DistributedEncoder:
         self._seed2 = int(table.seed2)
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
+        self._dense = replicated(self.mesh, table.byte_pair_dense())
         self._ranks = tokenizer.ranks
 
         self._step = self._build_step()
@@ -53,9 +54,9 @@ class DistributedEncoder:
 
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
 
-        def shard_fn(byts, lengths, packed):
+        def shard_fn(byts, lengths, packed, dense):
             out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
-                byts, lengths, packed, seed1, seed2, np_cap=cap)
+                byts, lengths, packed, dense, seed1, seed2, np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
             return (out, out_pos, n_out[None], fb_start, fb_len, n_mp[None],
@@ -63,7 +64,7 @@ class DistributedEncoder:
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(P("dp", None), P("dp"), P()),
+            in_specs=(P("dp", None), P("dp"), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                        P(), P()),
         )
@@ -82,7 +83,7 @@ class DistributedEncoder:
         """
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
-        return self._step(byts, lens, self._packed)
+        return self._step(byts, lens, self._packed, self._dense)
 
     def encode_batch(self, texts):
         """Convenience: texts -> per-doc rank lists + psum'd counters."""

@@ -267,6 +267,22 @@ class CuckooPairTable:
                 return int(self.packed[s, 2])
         return -1
 
+    def byte_pair_dense(self) -> np.ndarray:
+        """Dense (65536,) int32 table of byte-byte merges: entry l*256+r is
+        the merged rank of single-byte tokens (l, r), or INT32_MAX.  The
+        initial merge round only ever queries byte pairs, so this turns the
+        whole first probe pass into one small-table gather."""
+        INF = np.int32(2**31 - 1)
+        dense = np.full(65536, INF, dtype=np.int32)
+        ls = np.repeat(np.arange(256, dtype=np.int64), 256)
+        rs = np.tile(np.arange(256, dtype=np.int64), 256)
+        for seed in (self.seed1, self.seed2):
+            slots = cuckoo_hash(ls, rs, seed, self.size)
+            hit = ((self.packed[slots, 0] == ls)
+                   & (self.packed[slots, 1] == rs))
+            dense[np.where(hit)[0]] = self.packed[slots[hit], 2]
+        return dense
+
 
 @dataclass
 class DecodeTable:
