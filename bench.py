@@ -45,21 +45,27 @@ def tpu_healthy(timeout_s: int = 150) -> bool:
 
 def build_bench_vocab(words, inner_vocab=130_872):
     """Byte tokens + prefix-chain tokens for corpus words (valid BPE merge
-    trees: each token splits into (prefix, last-byte))."""
+    trees: each token splits into (prefix, last-byte)).  Both bare and
+    space-prefixed word chains are included, like real byte-level BPE
+    vocabularies, so whole-piece hit rates are representative."""
     from tekken_tpu.config import TokenInfo
 
     tokens: list[bytes] = [bytes([i]) for i in range(256)]
     seen = set(tokens)
+    full = False
     for w in words:
-        b = w.encode("utf-8")
-        for k in range(2, len(b) + 1):
-            t = b[:k]
-            if t not in seen:
-                seen.add(t)
-                tokens.append(t)
-            if len(tokens) >= inner_vocab:
+        for b in (b" " + w.encode("utf-8"), w.encode("utf-8")):
+            for k in range(2, len(b) + 1):
+                t = b[:k]
+                if t not in seen:
+                    seen.add(t)
+                    tokens.append(t)
+                if len(tokens) >= inner_vocab:
+                    full = True
+                    break
+            if full:
                 break
-        if len(tokens) >= inner_vocab:
+        if full:
             break
     return [
         TokenInfo(rank=r, token_bytes=base64.b64encode(t).decode(),
@@ -136,14 +142,17 @@ def main():
 
     import jax
     buf, lengths = enc.pack(docs)
-    fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap)
+    fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
+                          enc._piece_basis, enc._piece_probes)
+    tables = (enc._packed, enc._dense, enc._piece_slots, enc._vflat,
+              enc._voff)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
 
     # warmup / compile (int() readback = real synchronization; the axon
     # tunnel's block_until_ready does not reliably block)
     t2 = time.time()
-    out = fn(jbuf, jlen, enc._packed)
+    out = fn(jbuf, jlen, *tables)
     n0 = int(out[2])
     sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
                      f"{jax.devices()[0].platform}; n_out {n0}\n")
@@ -151,7 +160,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 8))
     t3 = time.time()
     for _ in range(iters):
-        out = fn(jbuf, jlen, enc._packed)
+        out = fn(jbuf, jlen, *tables)
     n0 = int(out[2])
     dt = time.time() - t3
     bps = batch_bytes * iters / dt

@@ -42,7 +42,34 @@ struct Engine {
   uint32_t seed1 = 0, seed2 = 0;
   // unicode tables: cls bits 1=L 2=N 4=WS; fold 1..8 = s t r e v m l d
   std::vector<uint8_t> cls, fold;
+  // whole-piece fast path (vocab.PieceTable + DecodeTable): FNV-1a index
+  // with exact byte verification against the flat vocab bytes
+  std::vector<int32_t> piece_slot;   // slot -> rank (-1 empty)
+  uint32_t piece_mask = 0;
+  uint32_t piece_basis = 0x811C9DC5u;
+  std::vector<uint8_t> vocab_flat;
+  std::vector<int32_t> vocab_off;    // n_ranks + 1
 };
+
+inline uint32_t fnv1a(const uint8_t* p, int32_t n, uint32_t basis) {
+  uint32_t h = basis;
+  for (int32_t i = 0; i < n; i++) h = (h ^ p[i]) * 0x01000193u;
+  return h;
+}
+
+inline int32_t lookup_piece(const Engine& e, const uint8_t* p, int32_t n) {
+  if (e.piece_slot.empty()) return -1;
+  uint32_t s = fnv1a(p, n, e.piece_basis) & e.piece_mask;
+  for (;;) {
+    int32_t r = e.piece_slot[s];
+    if (r < 0) return -1;
+    int32_t off = e.vocab_off[r];
+    if (e.vocab_off[r + 1] - off == n &&
+        std::memcmp(e.vocab_flat.data() + off, p, n) == 0)
+      return r;
+    s = (s + 1) & e.piece_mask;
+  }
+}
 
 inline uint32_t pair_hash(uint32_t l, uint32_t r, uint32_t seed,
                           uint32_t mask) {
@@ -298,7 +325,11 @@ extern "C" {
 
 void* tkn_create(const int32_t* packed, int64_t size, int32_t seed1,
                  int32_t seed2, const uint8_t* cls_table,
-                 const uint8_t* fold_table, int64_t n_codepoints) {
+                 const uint8_t* fold_table, int64_t n_codepoints,
+                 const int32_t* piece_slot, int64_t piece_size,
+                 int32_t piece_basis,
+                 const uint8_t* vocab_flat, int64_t flat_len,
+                 const int32_t* vocab_off, int64_t n_ranks) {
   Engine* e = new Engine();
   e->table.resize(size);
   std::memcpy(e->table.data(), packed, size * sizeof(Slot));
@@ -307,6 +338,13 @@ void* tkn_create(const int32_t* packed, int64_t size, int32_t seed1,
   e->seed2 = (uint32_t)seed2;
   e->cls.assign(cls_table, cls_table + n_codepoints);
   e->fold.assign(fold_table, fold_table + n_codepoints);
+  if (piece_size > 0) {
+    e->piece_slot.assign(piece_slot, piece_slot + piece_size);
+    e->piece_mask = (uint32_t)(piece_size - 1);
+    e->piece_basis = (uint32_t)piece_basis;
+    e->vocab_flat.assign(vocab_flat, vocab_flat + flat_len);
+    e->vocab_off.assign(vocab_off, vocab_off + n_ranks + 1);
+  }
   return e;
 }
 
@@ -323,8 +361,16 @@ int64_t tkn_encode(void* h, const uint8_t* data, int64_t len, int32_t* out,
   split_pieces(e, data, (int32_t)len, starts, ss);
   int64_t cnt = 0;
   for (size_t i = 0; i + 1 < starts.size(); i++) {
-    cnt += merge_piece(e, data + starts[i], starts[i + 1] - starts[i],
-                       out + cnt, ms);
+    const uint8_t* piece = data + starts[i];
+    int32_t n = starts[i + 1] - starts[i];
+    if (n > 1) {  // whole-piece fast path (result identical to merging)
+      int32_t whole = lookup_piece(e, piece, n);
+      if (whole >= 0) {
+        out[cnt++] = whole;
+        continue;
+      }
+    }
+    cnt += merge_piece(e, piece, n, out + cnt, ms);
   }
   return cnt;
 }

@@ -27,7 +27,9 @@ def _load():
     lib = ctypes.CDLL(LIB)
     lib.tkn_create.restype = ctypes.c_void_p
     lib.tkn_create.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
-                               ctypes.c_int32, _i8p, _i8p, ctypes.c_int64]
+                               ctypes.c_int32, _i8p, _i8p, ctypes.c_int64,
+                               _i32p, ctypes.c_int64, ctypes.c_int32,
+                               _i8p, ctypes.c_int64, _i32p, ctypes.c_int64]
     lib.tkn_destroy.argtypes = [ctypes.c_void_p]
     lib.tkn_encode.restype = ctypes.c_int64
     lib.tkn_encode.argtypes = [ctypes.c_void_p, _i8p, ctypes.c_int64, _i32p,
@@ -54,10 +56,18 @@ class NativeEncoder:
         self._cls = np.ascontiguousarray(cls_tab)
         self._fold = np.ascontiguousarray(fold_tab)
         self._packed = np.ascontiguousarray(table.packed.reshape(-1))
+        from ..vocab import PieceTable
+        pt = PieceTable.build(tokenizer.ranks)
+        dt = tokenizer.decode_table
+        self._piece_slot = np.ascontiguousarray(pt.slots[:, 2])
+        self._vflat = np.ascontiguousarray(dt.flat)
+        self._voff = np.ascontiguousarray(dt.offsets)
+        basis = pt.basis - (1 << 32) if pt.basis >= (1 << 31) else pt.basis
         self._h = _LIB.tkn_create(
             self._packed, table.size, int(table.seed1) & 0x7FFFFFFF,
             int(table.seed2) & 0x7FFFFFFF, self._cls, self._fold,
-            len(self._cls))
+            len(self._cls), self._piece_slot, pt.size, basis, self._vflat,
+            len(self._vflat), self._voff, len(self._voff) - 1)
         if not self._h:
             raise RuntimeError("tkn_create failed")
 

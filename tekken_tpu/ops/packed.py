@@ -57,8 +57,52 @@ def probe2(left, right, packed, seed1: int, seed2: int):
     return jnp.where(valid, out, INF)
 
 
-def packed_encode_impl(byts, lengths, packed_table, dense_tab,
-                       seed1: int, seed2: int, np_cap: int | None = None):
+def whole_piece_lookup(ranks0, nseg0, piece_slots, vocab_flat, vocab_off,
+                       basis: int, max_probes: int):
+    """Device whole-piece fast path: seeded-FNV signature probe + exact
+    byte verification (vocab.PieceTable layout).  Returns int32 (NP,) rank
+    or -1 per row."""
+    import jax.numpy as jnp
+
+    NP, P = ranks0.shape
+    S = piece_slots.shape[0]
+    mask32 = jnp.uint32(0xFFFFFFFF)
+
+    # seeded FNV-1a over each row's bytes (unrolled over the P lanes)
+    h = jnp.full((NP,), np.uint32(basis), dtype=jnp.uint32)
+    for lane in range(P):
+        b = ranks0[:, lane].astype(jnp.uint32) & jnp.uint32(0xFF)
+        h_new = ((h ^ b) * jnp.uint32(0x01000193)) & mask32
+        h = jnp.where(lane < nseg0, h_new, h)
+    h_i32 = h.astype(jnp.int32)
+
+    slot = (h & jnp.uint32(S - 1)).astype(jnp.int32)
+    found = jnp.full((NP,), -1, jnp.int32)
+    done = nseg0 < 2  # only real multi-byte pieces participate
+    for _ in range(max_probes):
+        row = piece_slots[slot]                       # (NP, 4)
+        sig, tlen, rank_t = row[:, 0], row[:, 1], row[:, 2]
+        hit = (sig == h_i32) & (tlen == nseg0) & (rank_t >= 0)
+        found = jnp.where(~done & hit, rank_t, found)
+        done = done | hit | (rank_t < 0)
+        slot = (slot + 1) & jnp.int32(S - 1)
+
+    # exact verification of the unique candidate
+    cand = jnp.maximum(found, 0)
+    off = vocab_off[cand]
+    ok = found >= 0
+    lanes = jnp.arange(P, dtype=jnp.int32)[None, :]
+    src_idx = jnp.clip(off[:, None] + lanes, 0, vocab_flat.shape[0] - 1)
+    tok_bytes = vocab_flat[src_idx].astype(jnp.int32)
+    cmp = (lanes >= nseg0[:, None]) | (tok_bytes == ranks0)
+    ok = ok & jnp.all(cmp, axis=1)
+    return jnp.where(ok, found, -1)
+
+
+def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
+                       vocab_flat, vocab_off, seed1: int, seed2: int,
+                       piece_basis: int = 0, piece_probes: int = 0,
+                       np_cap: int | None = None):
     """Encode a (B, R) document-row buffer.
 
     Returns (out i32[N] left-aligned tokens, out_pos i32[N] flat byte pos,
@@ -132,6 +176,18 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab,
     fb_len = jnp.full((NP,), 0, jnp.int32).at[
         jnp.where(mp_mark & fb_piece, mp_id, NP)].set(plen, mode="drop")
 
+    # --- whole-piece fast path (reference engine semantics: a piece whose
+    # bytes are a vocab token encodes as that token before any merging) ---
+    if piece_probes > 0:
+        whole = whole_piece_lookup(ranks0, nseg0, piece_slots, vocab_flat,
+                                   vocab_off, piece_basis, piece_probes)
+        hit = whole >= 0
+        lane0 = jnp.arange(P_LANES, dtype=jnp.int32)[None, :] == 0
+        ranks0 = jnp.where(hit[:, None] & lane0, whole[:, None],
+                           jnp.where(hit[:, None], -1, ranks0))
+        pr0 = jnp.where(hit[:, None], INF, pr0)
+        nseg0 = jnp.where(hit, 1, nseg0)
+
     # --- bucketed merge rounds (compact-shift layout, ops/bpe.py) ---
     from .bpe import merge_rows_compact
 
@@ -166,12 +222,14 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab,
 
 
 @functools.lru_cache(maxsize=8)
-def packed_encode_fn(seed1: int, seed2: int, np_cap):
+def packed_encode_fn(seed1: int, seed2: int, np_cap, piece_basis: int = 0,
+                     piece_probes: int = 0):
     import functools as ft
     import jax
 
     return jax.jit(ft.partial(packed_encode_impl, seed1=seed1, seed2=seed2,
-                              np_cap=np_cap))
+                              piece_basis=piece_basis,
+                              piece_probes=piece_probes, np_cap=np_cap))
 
 
 class PackedEncoder:
@@ -187,6 +245,14 @@ class PackedEncoder:
         self._dense = jnp.asarray(table.byte_pair_dense())
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
+        from ..vocab import PieceTable
+        pt = PieceTable.build(tokenizer.ranks)
+        dt = tokenizer.decode_table
+        self._piece_slots = jnp.asarray(pt.slots)
+        self._vflat = jnp.asarray(dt.flat)
+        self._voff = jnp.asarray(dt.offsets)
+        self._piece_basis = int(pt.basis)
+        self._piece_probes = int(pt.max_probes)
         self._B = rows
         self._R = row_len
         self._np_cap = np_cap if np_cap is not None else max(
@@ -214,9 +280,11 @@ class PackedEncoder:
         from ..oracle import byte_pair_merge, encode_ranks
 
         buf, lengths = self.pack(texts)
-        fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap)
+        fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
+                              self._piece_basis, self._piece_probes)
         out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
-            jnp.asarray(buf), jnp.asarray(lengths), self._packed, self._dense)
+            jnp.asarray(buf), jnp.asarray(lengths), self._packed,
+            self._dense, self._piece_slots, self._vflat, self._voff)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

@@ -37,9 +37,17 @@ class DistributedEncoder:
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
+        from ..vocab import PieceTable
+        pt = PieceTable.build(tokenizer.ranks)
+        dt = tokenizer.decode_table
+        self._piece_basis = int(pt.basis)
+        self._piece_probes = int(pt.max_probes)
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
+        self._pslots = replicated(self.mesh, np.asarray(pt.slots))
+        self._vflat = replicated(self.mesh, np.asarray(dt.flat))
+        self._voff = replicated(self.mesh, np.asarray(dt.offsets))
         self._ranks = tokenizer.ranks
 
         self._step = self._build_step()
@@ -53,10 +61,13 @@ class DistributedEncoder:
         from jax.sharding import PartitionSpec as P
 
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
+        basis, probes = self._piece_basis, self._piece_probes
 
-        def shard_fn(byts, lengths, packed, dense):
+        def shard_fn(byts, lengths, packed, dense, pslots, vflat, voff):
             out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
-                byts, lengths, packed, dense, seed1, seed2, np_cap=cap)
+                byts, lengths, packed, dense, pslots, vflat, voff,
+                seed1, seed2, piece_basis=basis, piece_probes=probes,
+                np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
             return (out, out_pos, n_out[None], fb_start, fb_len, n_mp[None],
@@ -64,7 +75,7 @@ class DistributedEncoder:
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(P("dp", None), P("dp"), P(), P()),
+            in_specs=(P("dp", None), P("dp"), P(), P(), P(), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                        P(), P()),
         )
@@ -83,7 +94,8 @@ class DistributedEncoder:
         """
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
-        return self._step(byts, lens, self._packed, self._dense)
+        return self._step(byts, lens, self._packed, self._dense,
+                          self._pslots, self._vflat, self._voff)
 
     def encode_batch(self, texts):
         """Convenience: texts -> per-doc rank lists + psum'd counters."""
