@@ -144,8 +144,8 @@ def main():
     buf, lengths = enc.pack(docs)
     fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
                           enc._piece_basis, enc._piece_probes)
-    tables = (enc._packed, enc._dense, enc._piece_slots, enc._vflat,
-              enc._voff)
+    tables = (enc._packed, enc._dense, enc._piece_slots,
+              enc._token_words)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
 

@@ -57,11 +57,11 @@ def probe2(left, right, packed, seed1: int, seed2: int):
     return jnp.where(valid, out, INF)
 
 
-def whole_piece_lookup(ranks0, nseg0, piece_slots, vocab_flat, vocab_off,
+def whole_piece_lookup(ranks0, nseg0, piece_slots, token_words,
                        basis: int, max_probes: int):
     """Device whole-piece fast path: seeded-FNV signature probe + exact
-    byte verification (vocab.PieceTable layout).  Returns int32 (NP,) rank
-    or -1 per row."""
+    verification against word-packed token bytes (one 8-wide row gather).
+    Returns int32 (NP,) rank or -1 per row."""
     import jax.numpy as jnp
 
     NP, P = ranks0.shape
@@ -87,20 +87,25 @@ def whole_piece_lookup(ranks0, nseg0, piece_slots, vocab_flat, vocab_off,
         done = done | hit | (rank_t < 0)
         slot = (slot + 1) & jnp.int32(S - 1)
 
-    # exact verification of the unique candidate
-    cand = jnp.maximum(found, 0)
-    off = vocab_off[cand]
-    ok = found >= 0
+    # exact verification: pack the piece bytes into little-endian words and
+    # compare against the candidate token's word row
+    W = P // 4
     lanes = jnp.arange(P, dtype=jnp.int32)[None, :]
-    src_idx = jnp.clip(off[:, None] + lanes, 0, vocab_flat.shape[0] - 1)
-    tok_bytes = vocab_flat[src_idx].astype(jnp.int32)
-    cmp = (lanes >= nseg0[:, None]) | (tok_bytes == ranks0)
-    ok = ok & jnp.all(cmp, axis=1)
+    bytes_masked = jnp.where(lanes < nseg0[:, None],
+                             ranks0.astype(jnp.uint32) & jnp.uint32(0xFF),
+                             jnp.uint32(0))
+    b4 = bytes_masked.reshape(NP, W, 4)
+    piece_words = (b4[:, :, 0]
+                   | (b4[:, :, 1] << jnp.uint32(8))
+                   | (b4[:, :, 2] << jnp.uint32(16))
+                   | (b4[:, :, 3] << jnp.uint32(24))).astype(jnp.int32)
+    cand_words = token_words[jnp.maximum(found, 0)]   # (NP, W) row gather
+    ok = (found >= 0) & jnp.all(piece_words == cand_words, axis=1)
     return jnp.where(ok, found, -1)
 
 
 def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
-                       vocab_flat, vocab_off, seed1: int, seed2: int,
+                       token_words, seed1: int, seed2: int,
                        piece_basis: int = 0, piece_probes: int = 0,
                        np_cap: int | None = None):
     """Encode a (B, R) document-row buffer.
@@ -179,8 +184,8 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
     # --- whole-piece fast path (reference engine semantics: a piece whose
     # bytes are a vocab token encodes as that token before any merging) ---
     if piece_probes > 0:
-        whole = whole_piece_lookup(ranks0, nseg0, piece_slots, vocab_flat,
-                                   vocab_off, piece_basis, piece_probes)
+        whole = whole_piece_lookup(ranks0, nseg0, piece_slots, token_words,
+                                   piece_basis, piece_probes)
         hit = whole >= 0
         lane0 = jnp.arange(P_LANES, dtype=jnp.int32)[None, :] == 0
         ranks0 = jnp.where(hit[:, None] & lane0, whole[:, None],
@@ -249,8 +254,7 @@ class PackedEncoder:
         pt = PieceTable.build(tokenizer.ranks)
         dt = tokenizer.decode_table
         self._piece_slots = jnp.asarray(pt.slots)
-        self._vflat = jnp.asarray(dt.flat)
-        self._voff = jnp.asarray(dt.offsets)
+        self._token_words = jnp.asarray(dt.word_packed(P_LANES))
         self._piece_basis = int(pt.basis)
         self._piece_probes = int(pt.max_probes)
         self._B = rows
@@ -284,7 +288,7 @@ class PackedEncoder:
                               self._piece_basis, self._piece_probes)
         out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
-            self._dense, self._piece_slots, self._vflat, self._voff)
+            self._dense, self._piece_slots, self._token_words)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

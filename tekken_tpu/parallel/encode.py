@@ -46,8 +46,8 @@ class DistributedEncoder:
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
         self._pslots = replicated(self.mesh, np.asarray(pt.slots))
-        self._vflat = replicated(self.mesh, np.asarray(dt.flat))
-        self._voff = replicated(self.mesh, np.asarray(dt.offsets))
+        from ..ops.packed import P_LANES
+        self._twords = replicated(self.mesh, dt.word_packed(P_LANES))
         self._ranks = tokenizer.ranks
 
         self._step = self._build_step()
@@ -63,9 +63,9 @@ class DistributedEncoder:
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
         basis, probes = self._piece_basis, self._piece_probes
 
-        def shard_fn(byts, lengths, packed, dense, pslots, vflat, voff):
+        def shard_fn(byts, lengths, packed, dense, pslots, twords):
             out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
-                byts, lengths, packed, dense, pslots, vflat, voff,
+                byts, lengths, packed, dense, pslots, twords,
                 seed1, seed2, piece_basis=basis, piece_probes=probes,
                 np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
@@ -75,7 +75,7 @@ class DistributedEncoder:
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(P("dp", None), P("dp"), P(), P(), P(), P(), P()),
+            in_specs=(P("dp", None), P("dp"), P(), P(), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                        P(), P()),
         )
@@ -95,7 +95,7 @@ class DistributedEncoder:
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
         return self._step(byts, lens, self._packed, self._dense,
-                          self._pslots, self._vflat, self._voff)
+                          self._pslots, self._twords)
 
     def encode_batch(self, texts):
         """Convenience: texts -> per-doc rank lists + psum'd counters."""

@@ -397,3 +397,22 @@ class DecodeTable:
 
     def token_bytes(self, rank: int) -> bytes:
         return self.flat[self.offsets[rank]:self.offsets[rank + 1]].tobytes()
+
+    def word_packed(self, max_len: int = 32) -> np.ndarray:
+        """(n_ranks, max_len//4) int32 array of token bytes packed 4 per
+        little-endian word, zero-padded; tokens longer than max_len are
+        all-zero rows (they can never match a piece of <= max_len bytes).
+        Used by the device whole-piece verify: one row gather replaces
+        max_len element gathers."""
+        n = len(self.offsets) - 1
+        words = np.zeros((n, max_len // 4), dtype=np.int32)
+        buf = np.zeros(max_len, dtype=np.uint8)
+        for r in range(n):
+            o0, o1 = int(self.offsets[r]), int(self.offsets[r + 1])
+            ln = o1 - o0
+            if 0 < ln <= max_len:
+                buf[:] = 0
+                buf[:ln] = self.flat[o0:o1]
+                words[r] = buf.view("<u4").astype(np.int64).astype(
+                    np.uint32).view(np.int32)
+        return words
