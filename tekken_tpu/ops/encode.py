@@ -53,8 +53,12 @@ class JaxEncoder:
         for d, pieces in enumerate(doc_pieces):
             for s, piece in enumerate(pieces):
                 n = len(piece)
+                whole = self._ranks.get(piece)
                 if n == 0:
                     results[(d, s)] = []
+                elif whole is not None:
+                    # whole-piece fast path (reference engine semantics)
+                    results[(d, s)] = [whole]
                 elif n == 1:
                     results[(d, s)] = [piece[0]]
                 elif n > max_bucket:

@@ -161,7 +161,14 @@ def encode_flat_fn(B: int, R: int, max_probes: int):
 
 
 class FlatEncoder:
-    """Host wrapper: documents -> flat device encode -> per-doc rank lists."""
+    """Host wrapper: documents -> flat device encode -> per-doc rank lists.
+
+    Reference/testing path.  Note: unlike the production PackedEncoder
+    (ops/packed.py), this path has no whole-piece shortcut, so on
+    pathological vocabularies containing tokens unreachable by
+    lowest-rank-first merges it can differ from the engine semantics (a
+    piece that IS a vocab token always encodes as that token).  Trained BPE
+    vocabularies are unaffected.  Use PackedEncoder for production."""
 
     def __init__(self, tokenizer, rows: int = 64, row_len: int = 1024):
         import jax.numpy as jnp
