@@ -30,17 +30,31 @@ TARGET = 1e9  # bytes/s north-star
 
 def tpu_healthy(timeout_s: int = 150) -> bool:
     """Probe the TPU tunnel in a subprocess (it can wedge and hang any jax
-    call indefinitely); fall back to CPU when unhealthy."""
+    call indefinitely); fall back to CPU when unhealthy.
+
+    IMPORTANT: a probe that hangs is ABANDONED, not killed — killing a
+    client mid-RPC corrupts the shared tunnel session for everyone (the
+    observed wedge mode).  The orphan finishes on its own later.
+    """
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return False
+    import time as _time
     code = ("import jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones(8)*2); print('ok')")
     try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return "ok" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL,
+                             start_new_session=True, text=True)
+    except OSError:
         return False
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if p.poll() is not None:
+            out = p.stdout.read() if p.stdout else ""
+            return "ok" in out
+        _time.sleep(2)
+    return False  # leave the probe running; do NOT kill it
 
 
 def build_bench_vocab(words, inner_vocab=130_872):
