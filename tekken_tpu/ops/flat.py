@@ -57,13 +57,43 @@ def _seg_first(values, reset):
     return v
 
 
+def _seg_polyhash(byte_vals, boundary, k: int):
+    """Per-position polynomial hash of the piece prefix ending there:
+    ``h[i] = sum_j b[j] * k^(i-j) mod 2^32`` over the piece containing i
+    (reset at boundary=True).  At a piece's last byte this is the piece's
+    ``vocab.poly_sig`` — concatenation is ``h_a * k^len_b + h_b``, so one
+    segmented associative scan computes every piece's signature."""
+    import jax
+    import jax.numpy as jnp
+
+    h0 = byte_vals.astype(jnp.uint32)
+    p0 = jnp.full(byte_vals.shape, np.uint32(k), dtype=jnp.uint32)
+
+    def combine(a, b):
+        ha, pa, ra = a
+        hb, pb, rb = b
+        return (jnp.where(rb, hb, ha * pb + hb),
+                jnp.where(rb, pb, pa * pb),
+                ra | rb)
+
+    h, _, _ = jax.lax.associative_scan(combine, (h0, p0, boundary))
+    return h
+
+
 def flat_encode_impl(byts, lengths, key_left, key_right, values,
-                     max_probes: int):
+                     max_probes: int, piece_slots=None, token_byte_rows=None,
+                     poly_k: int = 0, piece_probes: int = 0):
     """Flat encode over a (B, R) document-row buffer (trace-time shapes).
 
     Returns (out_ranks i32[N] left-aligned -1-padded, out_pos i32[N] flat
     byte position of each output token, n_out), with N = B*R.  Un-jitted so
     the parallel layer can wrap it in shard_map; make_encode_flat adds jit.
+
+    When ``piece_slots`` (a vocab.FlatPieceTable) and ``token_byte_rows``
+    (DecodeTable.padded_rows, shape (V, Lcap)) are given, pieces whose bytes
+    ARE a vocab token take the whole-piece fast path (reference engine
+    semantics) before any merging: signature via one segmented scan, probe,
+    then exact byte verification (one element gather per input byte).
     """
     import jax
     import jax.numpy as jnp
@@ -98,6 +128,62 @@ def flat_encode_impl(byts, lengths, key_left, key_right, values,
         pr = jnp.where(valid, pr, INF)
 
         boundary_next = jnp.concatenate([boundary[1:], jnp.ones(1, dtype=bool)])
+
+        if piece_slots is not None and piece_probes > 0:
+            # --- whole-piece fast path (flat layout) ---
+            next_valid = jnp.concatenate([valid[1:],
+                                          jnp.zeros(1, dtype=bool)])
+            is_last = (boundary_next | ~next_valid) & valid
+            offset = idx - pstart
+            plen_val = jnp.where(is_last, offset + 1, 0)
+            plen = _seg_first(plen_val[::-1], is_last[::-1])[::-1]
+            plen = jnp.where(valid, plen, 0)
+
+            byte_u = jnp.where(valid, byts.reshape(N), 0)
+            h = _seg_polyhash(byte_u, boundary, poly_k)
+            pend = pstart + plen - 1
+            sig = jnp.where((pend >= 0) & (pend < N),
+                            h[jnp.clip(pend, 0, N - 1)], jnp.uint32(0))
+            sig_i = sig.astype(jnp.int32)
+
+            S = piece_slots.shape[0]
+            hm = (sig * jnp.uint32(0x9E3779B1)) \
+                ^ (plen.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+            hm = hm ^ (hm >> jnp.uint32(15))
+            hm = hm * jnp.uint32(0xC2B2AE3D)
+            hm = hm ^ (hm >> jnp.uint32(13))
+            slot = (hm & jnp.uint32(S - 1)).astype(jnp.int32)
+
+            found = jnp.full((N,), -1, jnp.int32)
+            done = ~valid | (plen < 2)
+            for _ in range(piece_probes):
+                row = piece_slots[slot]                  # (N, 4)
+                sig_t, len_t, rank_t = row[:, 0], row[:, 1], row[:, 2]
+                hit = (sig_t == sig_i) & (len_t == plen) & (rank_t >= 0)
+                found = jnp.where(~done & hit, rank_t, found)
+                done = done | hit | (rank_t < 0)
+                slot = (slot + 1) & jnp.int32(S - 1)
+
+            # exact verification: candidate token byte at this offset
+            V, Lcap = token_byte_rows.shape
+            tb_flat = token_byte_rows.reshape(V * Lcap)
+            vidx = jnp.clip(jnp.maximum(found, 0) * Lcap + offset,
+                            0, V * Lcap - 1)
+            ok_pos = (found >= 0) & (tb_flat[vidx] == byte_u) & valid
+
+            # segmented AND over each piece (suffix scan), read at pstart
+            def and_combine(a, b):
+                va, ra = a
+                vb, rb = b
+                return jnp.where(rb, vb, va & vb), ra | rb
+            ok_all, _ = jax.lax.associative_scan(
+                and_combine, (ok_pos[::-1], is_last[::-1]))
+            ok_piece_at_start = gather(ok_all[::-1], pstart, False)
+            hit_piece = (found >= 0) & ok_piece_at_start & (plen >= 2) & valid
+
+            rank = jnp.where(hit_piece & boundary, found, rank)
+            alive = alive & ~(hit_piece & ~boundary)
+            pr = jnp.where(hit_piece, INF, pr)
 
         def cond(state):
             return jnp.any(state[1] < INF)
@@ -151,24 +237,26 @@ def flat_encode_impl(byts, lengths, key_left, key_right, values,
 
 
 @functools.lru_cache(maxsize=8)
-def encode_flat_fn(B: int, R: int, max_probes: int):
+def encode_flat_fn(B: int, R: int, max_probes: int, poly_k: int = 0,
+                   piece_probes: int = 0):
     """Jitted flat encoder specialized to a (B, R) buffer shape."""
     import functools as ft
     import jax
 
     del B, R  # shapes are recovered from the traced arguments
-    return jax.jit(ft.partial(flat_encode_impl, max_probes=max_probes))
+    return jax.jit(ft.partial(flat_encode_impl, max_probes=max_probes,
+                              poly_k=poly_k, piece_probes=piece_probes))
 
 
 class FlatEncoder:
     """Host wrapper: documents -> flat device encode -> per-doc rank lists.
 
-    Reference/testing path.  Note: unlike the production PackedEncoder
-    (ops/packed.py), this path has no whole-piece shortcut, so on
-    pathological vocabularies containing tokens unreachable by
-    lowest-rank-first merges it can differ from the engine semantics (a
-    piece that IS a vocab token always encodes as that token).  Trained BPE
-    vocabularies are unaffected.  Use PackedEncoder for production."""
+    Reference/testing path (PackedEncoder in ops/packed.py is the
+    production path).  Includes the whole-piece fast path — a piece whose
+    bytes ARE a vocab token encodes as that token before any merging, the
+    reference engine's semantics — via a segmented polynomial signature
+    scan + exact byte verification, so parity with the oracle holds even on
+    vocabularies with merge-unreachable tokens."""
 
     def __init__(self, tokenizer, rows: int = 64, row_len: int = 1024):
         import jax.numpy as jnp
@@ -178,6 +266,13 @@ class FlatEncoder:
         self._key_right = jnp.asarray(table.key_right)
         self._values = jnp.asarray(table.values)
         self._max_probes = int(table.max_probes)
+        from ..vocab import FlatPieceTable
+        fpt = FlatPieceTable.build(tokenizer.ranks)
+        self._piece_slots = jnp.asarray(fpt.slots)
+        self._token_byte_rows = jnp.asarray(
+            tokenizer.decode_table.padded_rows())
+        self._poly_k = int(fpt.k)
+        self._piece_probes = int(fpt.max_probes)
         self._B = rows
         self._R = row_len
 
@@ -199,9 +294,12 @@ class FlatEncoder:
         import jax.numpy as jnp
 
         buf, lengths = self.pack(texts)
-        fn = encode_flat_fn(self._B, self._R, self._max_probes)
+        fn = encode_flat_fn(self._B, self._R, self._max_probes,
+                            self._poly_k, self._piece_probes)
         out, out_pos, n_out = fn(jnp.asarray(buf), jnp.asarray(lengths),
-                                 self._key_left, self._key_right, self._values)
+                                 self._key_left, self._key_right, self._values,
+                                 piece_slots=self._piece_slots,
+                                 token_byte_rows=self._token_byte_rows)
         out = np.asarray(out)[:int(n_out)]
         out_pos = np.asarray(out_pos)[:int(n_out)]
         rows = out_pos // self._R

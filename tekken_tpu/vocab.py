@@ -369,6 +369,104 @@ class PieceTable:
         return -1
 
 
+def poly_sig(data: bytes, k: int) -> int:
+    """Polynomial rolling signature ``sum b_i * k^(L-1-i) mod 2^32``.
+
+    Unlike FNV-1a this is *associative-scan friendly*: the hash of a
+    concatenation is ``h_a * k^len_b + h_b``, so the flat device path
+    (ops/flat.py) computes every piece's signature with one segmented
+    associative scan.  Mirrored exactly there."""
+    h = 0
+    for b in data:
+        h = (h * k + b) & 0xFFFFFFFF
+    return h
+
+
+def _sig_slot_hash(sig: int, length: int, table_size: int) -> int:
+    """Mix a (signature, length) key into a slot index — uint32 arithmetic,
+    mirrored by the flat device probe."""
+    h = ((sig * 0x9E3779B1) ^ (length * 0x85EBCA77)) & 0xFFFFFFFF
+    h ^= h >> 15
+    h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
+    h ^= h >> 13
+    return h & (table_size - 1)
+
+
+@dataclass
+class FlatPieceTable:
+    """Whole-piece (poly_sig, length) -> rank index for the flat device path.
+
+    Same contract as PieceTable (the engine's whole-piece fast path:
+    reference src/tekkenizer.rs:125 delegates to an engine where a piece
+    that IS a vocab token encodes as that token), but keyed by the
+    scan-friendly polynomial signature so the flat kernel can compute every
+    piece's signature in one segmented associative scan.  The multiplier
+    ``k`` is chosen at build time so no two vocab tokens share a
+    (signature, length) pair; a match therefore names a unique candidate,
+    which the kernel byte-verifies against ``DecodeTable.padded_rows`` —
+    exactness never rests on the hash.
+    """
+
+    slots: np.ndarray       # (size, 4) int32 [sig, len, rank, 0]
+    size: int
+    k: int
+    max_probes: int
+
+    # odd multipliers tried in order at build time
+    _K_CANDIDATES = (0x01000193, 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D,
+                     0x27D4EB2F, 0x165667B1, 0x5851F42D, 0x41C64E6D)
+
+    @classmethod
+    def build(cls, ranks: dict[bytes, int], load_factor: float = 0.5
+              ) -> "FlatPieceTable":
+        size = max(64, _next_pow2(int(len(ranks) / load_factor) + 1))
+        for k in cls._K_CANDIDATES:
+            sigs = set()
+            collision = False
+            for token_bytes in ranks:
+                key = (poly_sig(token_bytes, k), len(token_bytes))
+                if key in sigs:
+                    collision = True
+                    break
+                sigs.add(key)
+            if not collision:
+                break
+        else:
+            raise InvalidConfigError("flat piece table: no collision-free "
+                                     "multiplier found")
+
+        mask = size - 1
+        slots = np.zeros((size, 4), dtype=np.int32)
+        slots[:, 2] = -1
+        max_probes = 1
+        for token_bytes, rank in ranks.items():
+            sig = poly_sig(token_bytes, k)
+            s = _sig_slot_hash(sig, len(token_bytes), size)
+            probes = 1
+            while slots[s, 2] >= 0:
+                s = (s + 1) & mask
+                probes += 1
+            slots[s, 0] = PieceTable._sig_i32(sig)
+            slots[s, 1] = len(token_bytes)
+            slots[s, 2] = rank
+            max_probes = max(max_probes, probes)
+        return cls(slots=slots, size=size, k=k, max_probes=max_probes)
+
+    def lookup_host(self, piece: bytes, decode_table: "DecodeTable") -> int:
+        mask = self.size - 1
+        sig = poly_sig(piece, self.k)
+        sig_i = PieceTable._sig_i32(sig)
+        s = _sig_slot_hash(sig, len(piece), self.size)
+        for _ in range(self.max_probes + 1):
+            if self.slots[s, 2] < 0:
+                return -1
+            if self.slots[s, 0] == sig_i and self.slots[s, 1] == len(piece):
+                r = int(self.slots[s, 2])
+                return r if decode_table.token_bytes(r) == piece else -1
+            s = (s + 1) & mask
+        return -1
+
+
 @dataclass
 class DecodeTable:
     """Flat byte-span arrays for rank -> bytes decode gathers.
@@ -397,6 +495,21 @@ class DecodeTable:
 
     def token_bytes(self, rank: int) -> bytes:
         return self.flat[self.offsets[rank]:self.offsets[rank + 1]].tobytes()
+
+    def padded_rows(self, row_len: int | None = None) -> np.ndarray:
+        """(n_ranks, row_len) uint8 array of token bytes, zero-padded.
+        Flattened on device, entry ``rank * row_len + offset`` is byte
+        ``offset`` of token ``rank`` — the flat whole-piece verify is one
+        element gather per input byte.  Tokens longer than row_len are
+        all-zero rows (callers only verify pieces of <= row_len bytes)."""
+        n = len(self.offsets) - 1
+        L = row_len if row_len is not None else max(1, self.max_token_len)
+        rows = np.zeros((n, L), dtype=np.uint8)
+        for r in range(n):
+            o0, o1 = int(self.offsets[r]), int(self.offsets[r + 1])
+            if 0 < o1 - o0 <= L:
+                rows[r, :o1 - o0] = self.flat[o0:o1]
+        return rows
 
     def word_packed(self, max_len: int = 32) -> np.ndarray:
         """(n_ranks, max_len//4) int32 array of token bytes packed 4 per

@@ -52,6 +52,13 @@ def test_native(tok):
     assert ne.encode("xyz") == [256]
 
 
+def test_device_flat(tok):
+    from tekken_tpu.ops.flat import FlatEncoder
+    enc = FlatEncoder(tok, rows=4, row_len=64)
+    assert enc.encode_batch(["xyz", "wxyz"]) == [
+        [256], [ord("w"), ord("x"), ord("y"), ord("z")]]
+
+
 def test_jax_bucketed(tok):
     enc = tok._get_jax_encoder()
     if enc is None:

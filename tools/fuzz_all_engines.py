@@ -1,4 +1,4 @@
-"""Cross-engine differential fuzz: oracle vs packed device path vs native.
+"""Cross-engine differential fuzz: oracle vs packed vs flat vs native.
 
 Run: python tools/fuzz_all_engines.py [n_batches]
 """
@@ -17,6 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from tekken_tpu.models import build_synthetic_tokenizer  # noqa: E402
 from tekken_tpu.oracle import encode_ranks  # noqa: E402
+from tekken_tpu.ops.flat import FlatEncoder  # noqa: E402
 from tekken_tpu.ops.packed import PackedEncoder  # noqa: E402
 
 ALPHABETS = [
@@ -33,6 +34,7 @@ def main(n_batches=20, seed=0):
     rng = random.Random(seed)
     tok = build_synthetic_tokenizer(num_merges=400, num_special_tokens=20)
     enc = PackedEncoder(tok, rows=32, row_len=1024)
+    flat = FlatEncoder(tok, rows=32, row_len=1024)
     try:
         from tekken_tpu.native import NativeEncoder
         native = NativeEncoder(tok)
@@ -49,15 +51,17 @@ def main(n_batches=20, seed=0):
             texts.append("".join(rng.choice(a)
                                  for _ in range(rng.randint(0, 500))))
         dev = enc.encode_batch(texts)
+        flt = flat.encode_batch(texts)
         nat = native.encode_batch(texts) if native else [None] * len(texts)
-        for t, d, n in zip(texts, dev, nat):
+        for t, d, f, n in zip(texts, dev, flt, nat):
             want = encode_ranks(t, tok.ranks)
             checked += 1
-            if d != want or (n is not None and n != want):
+            if d != want or f != want or (n is not None and n != want):
                 bad += 1
                 print("MISMATCH", repr(t[:60]))
                 print("  oracle", want[:20])
                 print("  device", d[:20])
+                print("  flat  ", f[:20])
                 if n is not None:
                     print("  native", n[:20])
                 if bad > 5:
