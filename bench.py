@@ -142,9 +142,11 @@ def main():
     sys.stderr.write(f"[bench] cuckoo table: {table.num_pairs} pairs, size "
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
+    # np_cap must exceed the mergeable-piece density (~bytes/7.6 on this
+    # corpus) or encode_batch falls back to the host; N/6 leaves headroom.
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
     from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
-    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 8)
+    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 6)
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
@@ -157,8 +159,8 @@ def main():
     import jax
     buf, lengths = enc.pack(docs)
     fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
-                          enc._piece_basis, enc._piece_probes)
-    tables = (enc._packed, enc._dense, enc._piece_slots,
+                          enc._piece_k, enc._pseed1, enc._pseed2)
+    tables = (enc._packed, enc._dense, enc._piece_packed,
               enc._token_words)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
@@ -168,8 +170,13 @@ def main():
     t2 = time.time()
     out = fn(jbuf, jlen, *tables)
     n0 = int(out[2])
+    n_mp = int(out[5])
+    assert n_mp <= enc._np_cap, (
+        f"bench batch overflows device capacity ({n_mp} > {enc._np_cap}); "
+        f"the measured run would be incomplete")
     sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
-                     f"{jax.devices()[0].platform}; n_out {n0}\n")
+                     f"{jax.devices()[0].platform}; n_out {n0}, "
+                     f"n_mp {n_mp}/{enc._np_cap}\n")
 
     iters = int(os.environ.get("BENCH_ITERS", 8))
     t3 = time.time()

@@ -81,19 +81,20 @@ def _seg_polyhash(byte_vals, boundary, k: int):
 
 
 def flat_encode_impl(byts, lengths, key_left, key_right, values,
-                     max_probes: int, piece_slots=None, token_byte_rows=None,
-                     poly_k: int = 0, piece_probes: int = 0):
+                     max_probes: int, piece_packed=None, token_byte_rows=None,
+                     poly_k: int = 0, pseed1: int = 0, pseed2: int = 0):
     """Flat encode over a (B, R) document-row buffer (trace-time shapes).
 
     Returns (out_ranks i32[N] left-aligned -1-padded, out_pos i32[N] flat
     byte position of each output token, n_out), with N = B*R.  Un-jitted so
     the parallel layer can wrap it in shard_map; make_encode_flat adds jit.
 
-    When ``piece_slots`` (a vocab.FlatPieceTable) and ``token_byte_rows``
+    When ``piece_packed`` (a vocab.CuckooPieceTable) and ``token_byte_rows``
     (DecodeTable.padded_rows, shape (V, Lcap)) are given, pieces whose bytes
     ARE a vocab token take the whole-piece fast path (reference engine
-    semantics) before any merging: signature via one segmented scan, probe,
-    then exact byte verification (one element gather per input byte).
+    semantics) before any merging: signature via one segmented scan, a
+    two-row-gather cuckoo probe, then exact byte verification (one element
+    gather per input byte).
     """
     import jax
     import jax.numpy as jnp
@@ -116,53 +117,49 @@ def flat_encode_impl(byts, lengths, key_left, key_right, values,
         prv = idx - 1
         alive = valid
 
-        pstart = _seg_first(idx, boundary)
+        # broadcast-from-start of an increasing sequence = native cummax
+        pstart = jax.lax.cummax(jnp.where(boundary, idx, -1))
 
         def gather(arr, i, fill):
             ok = (i >= 0) & (i < N)
             return jnp.where(ok, arr[jnp.clip(i, 0, N - 1)], fill)
 
-        same_piece = gather(piece_id, idx + 1, -2) == piece_id
-        right0 = jnp.where(same_piece, gather(rank, idx + 1, -1), -1)
+        # neighbor context via static slices (not gathers)
+        same_piece = ~jnp.concatenate([boundary[1:],
+                                       jnp.ones(1, dtype=bool)])
+        right0 = jnp.where(same_piece,
+                           jnp.concatenate([rank[1:],
+                                            jnp.full(1, -1, jnp.int32)]), -1)
         pr = probe_pairs(rank, right0, key_left, key_right, values, max_probes)
         pr = jnp.where(valid, pr, INF)
 
         boundary_next = jnp.concatenate([boundary[1:], jnp.ones(1, dtype=bool)])
 
-        if piece_slots is not None and piece_probes > 0:
+        if piece_packed is not None and poly_k:
             # --- whole-piece fast path (flat layout) ---
+            from .bpe import INF as _INF
+            from .packed import probe2
+
             next_valid = jnp.concatenate([valid[1:],
                                           jnp.zeros(1, dtype=bool)])
             is_last = (boundary_next | ~next_valid) & valid
             offset = idx - pstart
-            plen_val = jnp.where(is_last, offset + 1, 0)
-            plen = _seg_first(plen_val[::-1], is_last[::-1])[::-1]
-            plen = jnp.where(valid, plen, 0)
+            BIGN = jnp.int32(1 << 30)
+            last_pos = jax.lax.cummin(
+                jnp.where(is_last, idx, BIGN)[::-1])[::-1]
+            plen = jnp.where(valid, last_pos - pstart + 1, 0)
 
             byte_u = jnp.where(valid, byts.reshape(N), 0)
             h = _seg_polyhash(byte_u, boundary, poly_k)
             pend = pstart + plen - 1
             sig = jnp.where((pend >= 0) & (pend < N),
                             h[jnp.clip(pend, 0, N - 1)], jnp.uint32(0))
-            sig_i = sig.astype(jnp.int32)
+            sig31 = (sig & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
-            S = piece_slots.shape[0]
-            hm = (sig * jnp.uint32(0x9E3779B1)) \
-                ^ (plen.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
-            hm = hm ^ (hm >> jnp.uint32(15))
-            hm = hm * jnp.uint32(0xC2B2AE3D)
-            hm = hm ^ (hm >> jnp.uint32(13))
-            slot = (hm & jnp.uint32(S - 1)).astype(jnp.int32)
-
-            found = jnp.full((N,), -1, jnp.int32)
-            done = ~valid | (plen < 2)
-            for _ in range(piece_probes):
-                row = piece_slots[slot]                  # (N, 4)
-                sig_t, len_t, rank_t = row[:, 0], row[:, 1], row[:, 2]
-                hit = (sig_t == sig_i) & (len_t == plen) & (rank_t >= 0)
-                found = jnp.where(~done & hit, rank_t, found)
-                done = done | hit | (rank_t < 0)
-                slot = (slot + 1) & jnp.int32(S - 1)
+            cand = probe2(sig31,
+                          jnp.where(valid & (plen >= 2), plen, -1),
+                          piece_packed, pseed1, pseed2)
+            found = jnp.where(cand == _INF, -1, cand)
 
             # exact verification: candidate token byte at this offset
             V, Lcap = token_byte_rows.shape
@@ -238,14 +235,14 @@ def flat_encode_impl(byts, lengths, key_left, key_right, values,
 
 @functools.lru_cache(maxsize=8)
 def encode_flat_fn(B: int, R: int, max_probes: int, poly_k: int = 0,
-                   piece_probes: int = 0):
+                   pseed1: int = 0, pseed2: int = 0):
     """Jitted flat encoder specialized to a (B, R) buffer shape."""
     import functools as ft
     import jax
 
     del B, R  # shapes are recovered from the traced arguments
     return jax.jit(ft.partial(flat_encode_impl, max_probes=max_probes,
-                              poly_k=poly_k, piece_probes=piece_probes))
+                              poly_k=poly_k, pseed1=pseed1, pseed2=pseed2))
 
 
 class FlatEncoder:
@@ -266,13 +263,13 @@ class FlatEncoder:
         self._key_right = jnp.asarray(table.key_right)
         self._values = jnp.asarray(table.values)
         self._max_probes = int(table.max_probes)
-        from ..vocab import FlatPieceTable
-        fpt = FlatPieceTable.build(tokenizer.ranks)
-        self._piece_slots = jnp.asarray(fpt.slots)
+        pt = tokenizer.piece_table()
+        self._piece_packed = jnp.asarray(pt.packed)
         self._token_byte_rows = jnp.asarray(
             tokenizer.decode_table.padded_rows())
-        self._poly_k = int(fpt.k)
-        self._piece_probes = int(fpt.max_probes)
+        self._poly_k = int(pt.k)
+        self._pseed1 = int(pt.seed1)
+        self._pseed2 = int(pt.seed2)
         self._B = rows
         self._R = row_len
 
@@ -295,10 +292,10 @@ class FlatEncoder:
 
         buf, lengths = self.pack(texts)
         fn = encode_flat_fn(self._B, self._R, self._max_probes,
-                            self._poly_k, self._piece_probes)
+                            self._poly_k, self._pseed1, self._pseed2)
         out, out_pos, n_out = fn(jnp.asarray(buf), jnp.asarray(lengths),
                                  self._key_left, self._key_right, self._values,
-                                 piece_slots=self._piece_slots,
+                                 piece_packed=self._piece_packed,
                                  token_byte_rows=self._token_byte_rows)
         out = np.asarray(out)[:int(n_out)]
         out_pos = np.asarray(out_pos)[:int(n_out)]

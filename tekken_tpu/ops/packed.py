@@ -23,7 +23,6 @@ import functools
 import numpy as np
 
 from .bpe import INF
-from .flat import _seg_first
 from .pretokenize import byte_boundaries
 
 P_LANES = 32
@@ -57,44 +56,63 @@ def probe2(left, right, packed, seed1: int, seed2: int):
     return jnp.where(valid, out, INF)
 
 
-def whole_piece_lookup(ranks0, nseg0, piece_slots, token_words,
-                       basis: int, max_probes: int):
-    """Device whole-piece fast path: seeded-FNV signature probe + exact
-    verification against word-packed token bytes (one 8-wide row gather).
-    Returns int32 (NP,) rank or -1 per row."""
+def _inv_u32(k: int) -> int:
+    """Multiplicative inverse of odd k mod 2^32 (Newton iteration)."""
+    inv = k
+    for _ in range(5):
+        inv = (inv * (2 - k * inv)) & 0xFFFFFFFF
+    return inv
+
+
+def whole_piece_lookup(ranks0, nseg0, piece_packed, token_words,
+                       k: int, seed1: int, seed2: int):
+    """Device whole-piece fast path.
+
+    Signature = vocab.poly_sig31 of the row's bytes, computed as ONE masked
+    lane dot-product against precomputed powers of ``k`` plus an
+    inverse-power length correction (sum_{l<L} b_l k^(P-1-l) equals
+    sig * k^(P-L) mod 2^32, and k is odd hence invertible) — no sequential
+    per-lane loop.  Lookup = probe2 on the CuckooPieceTable (two row
+    gathers), then exact verification against word-packed token bytes (one
+    8-wide row gather).  Returns int32 (NP,) rank or -1 per row.
+    """
     import jax.numpy as jnp
 
     NP, P = ranks0.shape
-    S = piece_slots.shape[0]
-    mask32 = jnp.uint32(0xFFFFFFFF)
+    lanes = jnp.arange(P, dtype=jnp.int32)[None, :]
 
-    # seeded FNV-1a over each row's bytes (unrolled over the P lanes)
-    h = jnp.full((NP,), np.uint32(basis), dtype=jnp.uint32)
-    for lane in range(P):
-        b = ranks0[:, lane].astype(jnp.uint32) & jnp.uint32(0xFF)
-        h_new = ((h ^ b) * jnp.uint32(0x01000193)) & mask32
-        h = jnp.where(lane < nseg0, h_new, h)
-    h_i32 = h.astype(jnp.int32)
+    # powers k^(P-1-lane) mod 2^32
+    kp = np.zeros(P, dtype=np.uint32)
+    acc = 1
+    for lane in reversed(range(P)):
+        kp[lane] = acc
+        acc = (acc * k) & 0xFFFFFFFF
+    kp_j = jnp.asarray(kp)
 
-    slot = (h & jnp.uint32(S - 1)).astype(jnp.int32)
-    found = jnp.full((NP,), -1, jnp.int32)
-    done = nseg0 < 2  # only real multi-byte pieces participate
-    for _ in range(max_probes):
-        row = piece_slots[slot]                       # (NP, 4)
-        sig, tlen, rank_t = row[:, 0], row[:, 1], row[:, 2]
-        hit = (sig == h_i32) & (tlen == nseg0) & (rank_t >= 0)
-        found = jnp.where(~done & hit, rank_t, found)
-        done = done | hit | (rank_t < 0)
-        slot = (slot + 1) & jnp.int32(S - 1)
+    in_len = lanes < nseg0[:, None]
+    b = jnp.where(in_len, ranks0.astype(jnp.uint32) & jnp.uint32(0xFF),
+                  jnp.uint32(0))
+    t = jnp.sum(b * kp_j[None, :], axis=1, dtype=jnp.uint32)
+
+    # sig = t * inv(k)^(P-L): compose the inverse power from the bits of P-L
+    j = (P - nseg0).astype(jnp.uint32)
+    invk = _inv_u32(k)
+    m = jnp.ones((NP,), dtype=jnp.uint32)
+    ipow = invk
+    for bit in range(6):  # P <= 32 -> P-L < 64
+        m = jnp.where((j >> jnp.uint32(bit)) & 1 == 1,
+                      m * jnp.uint32(ipow), m)
+        ipow = (ipow * ipow) & 0xFFFFFFFF
+    sig = ((t * m) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    cand = probe2(sig, jnp.where(nseg0 >= 2, nseg0, -1),
+                  piece_packed, seed1, seed2)
+    found = jnp.where(cand == INF, -1, cand)
 
     # exact verification: pack the piece bytes into little-endian words and
     # compare against the candidate token's word row
     W = P // 4
-    lanes = jnp.arange(P, dtype=jnp.int32)[None, :]
-    bytes_masked = jnp.where(lanes < nseg0[:, None],
-                             ranks0.astype(jnp.uint32) & jnp.uint32(0xFF),
-                             jnp.uint32(0))
-    b4 = bytes_masked.reshape(NP, W, 4)
+    b4 = b.reshape(NP, W, 4)
     piece_words = (b4[:, :, 0]
                    | (b4[:, :, 1] << jnp.uint32(8))
                    | (b4[:, :, 2] << jnp.uint32(16))
@@ -104,9 +122,9 @@ def whole_piece_lookup(ranks0, nseg0, piece_slots, token_words,
     return jnp.where(ok, found, -1)
 
 
-def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
+def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
                        token_words, seed1: int, seed2: int,
-                       piece_basis: int = 0, piece_probes: int = 0,
+                       piece_k: int = 0, pseed1: int = 0, pseed2: int = 0,
                        np_cap: int | None = None):
     """Encode a (B, R) document-row buffer.
 
@@ -129,25 +147,28 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
     valid = (idx % R) < lengths[idx // R]
     byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
 
-    pstart = _seg_first(idx, boundary)
+    # "broadcast from segment start" of an increasing sequence is a native
+    # cummax, not a generic associative scan (6x cheaper on TPU)
+    pstart = jax.lax.cummax(jnp.where(boundary, idx, -1))
     offset = idx - pstart
 
-    # piece length at each byte = length of its piece (via last-offset+1)
+    # piece length at each byte: position of the piece's last byte (the
+    # first is_last >= i, a reverse native cummin) minus the start
     boundary_next = jnp.concatenate([boundary[1:], jnp.ones(1, dtype=bool)])
-    # piece end marker at last byte of each piece: next boundary or invalid
     is_last = (boundary_next | ~jnp.concatenate(
         [valid[1:], jnp.zeros(1, dtype=bool)])) & valid
-    # broadcast piece length: suffix 'first' of (offset+1 at last byte)
-    plen_val = jnp.where(is_last, offset + 1, 0)
-    plen = _seg_first(plen_val[::-1], is_last[::-1])[::-1]
-    plen = jnp.where(valid, plen, 0)
+    BIGN = jnp.int32(1 << 30)
+    last_pos = jax.lax.cummin(jnp.where(is_last, idx, BIGN)[::-1])[::-1]
+    plen = jnp.where(valid, last_pos - pstart + 1, 0)
 
     mergeable = valid & (plen >= 2)
     is_pstart = boundary & valid
-    # mergeable-piece index: rank among mergeable piece starts
+    # mergeable-piece index: rank among mergeable piece starts; the ids are
+    # nondecreasing, so broadcasting through the piece is again a cummax
+    # (positions of non-mergeable pieces get a stale id, never used)
     mp_mark = is_pstart & mergeable
     mp_id_at_start = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
-    mp_id = _seg_first(jnp.where(mp_mark, mp_id_at_start, -1), boundary)
+    mp_id = jax.lax.cummax(jnp.where(mp_mark, mp_id_at_start, -1))
     n_mp = jnp.sum(mp_mark.astype(jnp.int32))
 
     in_matrix = mergeable & (offset < P_LANES) & (mp_id < NP)
@@ -165,27 +186,35 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
     flat_pr = jnp.where(q_ok, dense_tab[dense_idx], INF)
 
     # --- scatter into (NP, P) matrices ---
+    # same-index scatters are packed into row scatters (cost is per row)
     ok = in_matrix & ~fb_piece
-    tgt_row = jnp.where(ok, mp_id, NP)
-    tgt = (tgt_row, jnp.where(ok, offset, 0))
-    ranks0 = jnp.full((NP, P_LANES), -1, jnp.int32).at[tgt].set(
-        byte_rank, mode="drop")
-    pr0 = jnp.full((NP, P_LANES), INF, jnp.int32).at[tgt].set(
-        flat_pr, mode="drop")
-    start0 = jnp.full((NP,), -1, jnp.int32).at[
-        jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(pstart, mode="drop")
-    nseg0 = jnp.full((NP,), 0, jnp.int32).at[
-        jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(plen, mode="drop")
-    fb_start = jnp.full((NP,), -1, jnp.int32).at[
-        jnp.where(mp_mark & fb_piece, mp_id, NP)].set(pstart, mode="drop")
-    fb_len = jnp.full((NP,), 0, jnp.int32).at[
-        jnp.where(mp_mark & fb_piece, mp_id, NP)].set(plen, mode="drop")
+    flat_tgt = jnp.where(ok, mp_id * P_LANES + offset, NP * P_LANES)
+    init_rp = jnp.broadcast_to(
+        jnp.array([-1, INF], jnp.int32)[None, :], (NP * P_LANES, 2))
+    rp = init_rp.at[flat_tgt].set(
+        jnp.stack([byte_rank, flat_pr], axis=1), mode="drop")
+    ranks0 = rp[:, 0].reshape(NP, P_LANES)
+    pr0 = rp[:, 1].reshape(NP, P_LANES)
+
+    init_sn = jnp.broadcast_to(
+        jnp.array([-1, 0], jnp.int32)[None, :], (NP, 2))
+    sn = init_sn.at[
+        jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(
+        jnp.stack([pstart, plen], axis=1), mode="drop")
+    start0, nseg0 = sn[:, 0], sn[:, 1]
+
+    init_fb = jnp.broadcast_to(
+        jnp.array([-1, 0], jnp.int32)[None, :], (NP, 2))
+    fbv = init_fb.at[
+        jnp.where(mp_mark & fb_piece, mp_id, NP)].set(
+        jnp.stack([pstart, plen], axis=1), mode="drop")
+    fb_start, fb_len = fbv[:, 0], fbv[:, 1]
 
     # --- whole-piece fast path (reference engine semantics: a piece whose
     # bytes are a vocab token encodes as that token before any merging) ---
-    if piece_probes > 0:
-        whole = whole_piece_lookup(ranks0, nseg0, piece_slots, token_words,
-                                   piece_basis, piece_probes)
+    if piece_k:
+        whole = whole_piece_lookup(ranks0, nseg0, piece_packed, token_words,
+                                   piece_k, pseed1, pseed2)
         hit = whole >= 0
         lane0 = jnp.arange(P_LANES, dtype=jnp.int32)[None, :] == 0
         ranks0 = jnp.where(hit[:, None] & lane0, whole[:, None],
@@ -218,8 +247,9 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
     has_tok = tok_flat >= 0
     order = jnp.cumsum(has_tok.astype(jnp.int32)) - 1
     sidx = jnp.where(has_tok, order, N)
-    out = jnp.full(N, -1, jnp.int32).at[sidx].set(tok_flat, mode="drop")
-    out_pos = jnp.full(N, -1, jnp.int32).at[sidx].set(idx, mode="drop")
+    op = jnp.full((N, 2), -1, jnp.int32).at[sidx].set(
+        jnp.stack([tok_flat, idx], axis=1), mode="drop")
+    out, out_pos = op[:, 0], op[:, 1]
     n_out = jnp.sum(has_tok.astype(jnp.int32))
     # n_mp > NP means capacity overflow: pieces beyond NP could not even be
     # recorded as fallbacks — the host must re-encode the whole batch.
@@ -227,14 +257,14 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_slots,
 
 
 @functools.lru_cache(maxsize=8)
-def packed_encode_fn(seed1: int, seed2: int, np_cap, piece_basis: int = 0,
-                     piece_probes: int = 0):
+def packed_encode_fn(seed1: int, seed2: int, np_cap, piece_k: int = 0,
+                     pseed1: int = 0, pseed2: int = 0):
     import functools as ft
     import jax
 
     return jax.jit(ft.partial(packed_encode_impl, seed1=seed1, seed2=seed2,
-                              piece_basis=piece_basis,
-                              piece_probes=piece_probes, np_cap=np_cap))
+                              piece_k=piece_k, pseed1=pseed1, pseed2=pseed2,
+                              np_cap=np_cap))
 
 
 class PackedEncoder:
@@ -250,13 +280,13 @@ class PackedEncoder:
         self._dense = jnp.asarray(table.byte_pair_dense())
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
-        from ..vocab import PieceTable
-        pt = PieceTable.build(tokenizer.ranks)
+        pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
-        self._piece_slots = jnp.asarray(pt.slots)
+        self._piece_packed = jnp.asarray(pt.packed)
         self._token_words = jnp.asarray(dt.word_packed(P_LANES))
-        self._piece_basis = int(pt.basis)
-        self._piece_probes = int(pt.max_probes)
+        self._piece_k = int(pt.k)
+        self._pseed1 = int(pt.seed1)
+        self._pseed2 = int(pt.seed2)
         self._B = rows
         self._R = row_len
         self._np_cap = np_cap if np_cap is not None else max(
@@ -285,10 +315,10 @@ class PackedEncoder:
 
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._piece_basis, self._piece_probes)
+                              self._piece_k, self._pseed1, self._pseed2)
         out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
-            self._dense, self._piece_slots, self._token_words)
+            self._dense, self._piece_packed, self._token_words)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

@@ -57,6 +57,15 @@ def unicode_tables() -> tuple[np.ndarray, np.ndarray]:
     return z["cls"], z["fold"]
 
 
+@functools.lru_cache(maxsize=1)
+def unicode_packed_table() -> np.ndarray:
+    """cls (bits 0-2) | fold << 3 (bits 3-6) in one uint8 table: the per-char
+    class+fold lookup is a single big-table gather instead of two (gathers
+    dominate the boundary pass on TPU)."""
+    cls, fold = unicode_tables()
+    return (cls | (fold << 3)).astype(np.uint8)
+
+
 # --------------------------------------------------------------------- #
 # segmented scans
 # --------------------------------------------------------------------- #
@@ -134,16 +143,15 @@ def _char_boundaries(cp, is_valid):
     import jax
     import jax.numpy as jnp
 
-    cls_tab, fold_tab = unicode_tables()
-    cls_tab = jnp.asarray(cls_tab)
-    fold_tab = jnp.asarray(fold_tab)
+    packed_tab = jnp.asarray(unicode_packed_table())
 
     n = cp.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
     cp = jnp.where(is_valid, cp, 0)
-    cls = jnp.where(is_valid, cls_tab[cp], 0)
-    fold = jnp.where(is_valid, fold_tab[cp], 0)
+    pk = jnp.where(is_valid, packed_tab[cp], 0)  # one big-table gather
+    cls = pk & jnp.uint8(7)
+    fold = (pk >> jnp.uint8(3)).astype(jnp.uint8)
 
     is_l = (cls & _LETTER) != 0
     is_n = (cls & _NUMBER) != 0
@@ -250,117 +258,6 @@ def _char_boundaries(cp, is_valid):
     return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
 
 
-def _char_boundaries_scan(cp, is_valid):
-    """Given codepoints cp[int32 n] and validity mask, return piece-start
-    flags (bool n) at char positions.  Pure jnp; jit/vmap friendly."""
-    import jax.numpy as jnp
-
-    cls_tab, fold_tab = unicode_tables()
-    cls_tab = jnp.asarray(cls_tab)
-    fold_tab = jnp.asarray(fold_tab)
-
-    n = cp.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    cp = jnp.where(is_valid, cp, 0)
-    cls = jnp.where(is_valid, cls_tab[cp], 0)
-    fold = jnp.where(is_valid, fold_tab[cp], 0)
-
-    is_l = (cls & _LETTER) != 0
-    is_n = (cls & _NUMBER) != 0
-    is_w = (cls & _WS) != 0
-    is_p = is_valid & ~is_l & ~is_n & ~is_w
-    is_nl = is_valid & ((cp == 0x0D) | (cp == 0x0A))
-    is_space = is_valid & (cp == 0x20)
-    is_apos = is_valid & (cp == 0x27)
-
-    # 4-way class id for run grouping (invalid = own class, inert)
-    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
-                                                        jnp.where(is_p, 3, 4))))
-
-    change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
-    run_start = _seg_scan(idx, change, "first")
-    change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
-    run_last = _seg_scan(idx, change_next, "first", reverse=True)
-    run_end = run_last + 1  # exclusive
-
-    def gather(arr, i, fill):
-        ok = (i >= 0) & (i < n)
-        return jnp.where(ok, arr[jnp.clip(i, 0, n - 1)], fill)
-
-    S = run_start
-    E = run_end
-
-    # per-run aggregates: suffix scans evaluated at the run start cover the
-    # whole run; gather that value back to every char of the run
-    BIG = jnp.int32(1 << 30)
-    nl_last_sfx = _seg_scan(jnp.where(is_nl, idx, -1), change_next, "max",
-                            reverse=True)
-    nl_last = gather(nl_last_sfx, S, -1)          # last \r\n in the run
-    non_nl_sfx = _seg_scan(jnp.where(~is_nl, idx, BIG), change_next, "min",
-                           reverse=True)
-    first_non_nl = gather(non_nl_sfx, S, BIG)     # first non-\r\n in the run
-
-    nvalid = jnp.sum(is_valid.astype(jnp.int32))
-    prev = S - 1                      # char before the run
-    prev_is_w = gather(is_w, prev, False)
-    prev_is_nl = gather(is_nl, prev, False)
-    prev_is_p = gather(is_p, prev, False)
-    prev_is_space = gather(is_space, prev, False)
-    prev_run_start = gather(run_start, prev, 0)
-    prev_run_len = jnp.where(prev >= 0, prev + 1 - prev_run_start, 0)
-    prev2_is_space = gather(is_space, S - 2, False)
-
-    # ---- contraction detection at a P-run position p (the apostrophe) ----
-    # free length-1 '[']'-run, not preceded by a literal space, followed by a
-    # letter run matching a branch of (?i:'s|'t|'re|'ve|'m|'ll|'d)
-    p_is_free_apos = (is_p & is_apos & (run_start == idx) & (run_end == idx + 1)
-                      & ~gather(is_space, idx - 1, False))
-    f1 = gather(fold, idx + 1, 0)
-    next_is_letter = gather(is_l, idx + 1, False)
-    l_run_end = gather(run_end, idx + 1, 0)       # end of the letter run
-    f2 = gather(fold, idx + 2, 0)
-    has_l2 = (idx + 2) < l_run_end
-    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
-    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
-                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
-    contraction = p_is_free_apos & next_is_letter & (one_letter | two_letter)
-    n_cons = jnp.where(two_letter, 2, 1)
-
-    # contraction info gathered from the char before an L-run start
-    prev_contraction = gather(contraction, prev, False)
-    prev_n_cons = gather(n_cons, prev, 1)
-
-    # ---- rule A: number runs split into triples ----
-    b_num = is_n & (((idx - S) % 3) == 0)
-
-    # ---- rule B/C: letter runs ----
-    absorbed = ((prev_is_w & ~prev_is_nl)
-                | (prev_is_p & (prev_run_len == 1) & ~prev2_is_space))
-    b_letter_start = is_l & (idx == S) & ~((S > 0) & absorbed)
-    # post-contraction remainder starts a fresh piece
-    b_letter_cont = is_l & prev_contraction & (idx == S + prev_n_cons) & (idx < E)
-
-    # ---- rule D: punct runs ----
-    b_punct = is_p & (idx == S) & ~((S > 0) & prev_is_space)
-
-    # ---- rule E: whitespace runs ----
-    # entry: past the [\r\n]* prefix absorbed by a preceding P token
-    entry = jnp.where(prev_is_p, jnp.minimum(first_non_nl, E), S)
-    t_nl_last = jnp.where(nl_last >= entry, nl_last, -1)
-    tail_start = jnp.where(t_nl_last >= 0, t_nl_last + 1, entry)
-    x_exists = E < nvalid
-    b_ws = is_w & (
-        ((idx == entry) & (entry < E))
-        | ((idx == tail_start) & (tail_start > entry) & (tail_start < E))
-        | ((idx == E - 1) & (E - 1 - tail_start >= 1) & x_exists)
-    )
-    # (whether the final ws char *attaches* to the following L/P run is
-    # enforced by the suppression terms in rules B and D, not here)
-
-    return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
-
-
 # --------------------------------------------------------------------- #
 # byte-level wrapper: UTF-8 structure + boundary flags
 # --------------------------------------------------------------------- #
@@ -383,8 +280,8 @@ def byte_char_structure(byts, length):
     is_lead = valid & ~is_cont
 
     def nxt(k):
-        j = idx + k
-        return jnp.where(j < L, byts[jnp.clip(j, 0, L - 1)].astype(jnp.int32) & 0x3F, 0)
+        # static slice, not a gather: 30x cheaper on TPU
+        return _shift(byts, k, np.uint8(0)).astype(jnp.int32) & 0x3F
 
     b1, b2, b3 = nxt(1), nxt(2), nxt(3)
     cp1 = b
@@ -409,11 +306,13 @@ def byte_boundaries(byts, length):
 
     # compact chars: char k lives at byte position lead_pos[k]
     char_idx = jnp.cumsum(is_lead.astype(jnp.int32)) - 1  # per byte
-    # scatter lead-byte positions / codepoints into char-order arrays
-    # (invalid rows routed out of bounds and dropped)
+    # scatter lead-byte positions + codepoints into char-order arrays with
+    # ONE row scatter (same indices; scatter cost is per row on TPU);
+    # invalid rows routed out of bounds and dropped
     scatter_idx = jnp.where(is_lead, char_idx, L)
-    lead_pos = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(idx, mode="drop")
-    cp_char = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(cp, mode="drop")
+    both = jnp.zeros((L, 2), dtype=jnp.int32).at[scatter_idx].set(
+        jnp.stack([idx, cp], axis=1), mode="drop")
+    lead_pos, cp_char = both[:, 0], both[:, 1]
     nchars = jnp.sum(is_lead.astype(jnp.int32))
     char_valid = jnp.arange(L, dtype=jnp.int32) < nchars
 

@@ -37,15 +37,15 @@ class DistributedEncoder:
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
-        from ..vocab import PieceTable
-        pt = PieceTable.build(tokenizer.ranks)
+        pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
-        self._piece_basis = int(pt.basis)
-        self._piece_probes = int(pt.max_probes)
+        self._piece_k = int(pt.k)
+        self._pseed1 = int(pt.seed1)
+        self._pseed2 = int(pt.seed2)
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
-        self._pslots = replicated(self.mesh, np.asarray(pt.slots))
+        self._pslots = replicated(self.mesh, np.asarray(pt.packed))
         from ..ops.packed import P_LANES
         self._twords = replicated(self.mesh, dt.word_packed(P_LANES))
         self._ranks = tokenizer.ranks
@@ -61,12 +61,12 @@ class DistributedEncoder:
         from jax.sharding import PartitionSpec as P
 
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
-        basis, probes = self._piece_basis, self._piece_probes
+        pk, ps1, ps2 = self._piece_k, self._pseed1, self._pseed2
 
         def shard_fn(byts, lengths, packed, dense, pslots, twords):
             out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
                 byts, lengths, packed, dense, pslots, twords,
-                seed1, seed2, piece_basis=basis, piece_probes=probes,
+                seed1, seed2, piece_k=pk, pseed1=ps1, pseed2=ps2,
                 np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")

@@ -465,6 +465,15 @@ class Tekkenizer:
             self._cuckoo_table = CuckooPairTable.build(self._ranks)
         return self._cuckoo_table
 
+    def piece_table(self):
+        """Whole-piece (poly-signature, length) -> rank cuckoo table: two
+        row-gathers per lookup; shared by the packed and flat device
+        kernels' whole-piece fast path."""
+        if getattr(self, "_piece_table", None) is None:
+            from .vocab import CuckooPieceTable
+            self._piece_table = CuckooPieceTable.build(self._ranks)
+        return self._piece_table
+
     def _get_jax_encoder(self):
         if self._jax_encoder is None:
             try:

@@ -183,6 +183,65 @@ def cuckoo_hash(left, right, seed: int, table_size: int):
     return (h & np.uint32(table_size - 1)).astype(np.int64)
 
 
+def _cuckoo_place(triples, load_factor: float = 0.45):
+    """Place (key_left, key_right, value) triples into a two-choice cuckoo
+    table.  Returns (packed int32 (size, 4) [kl, kr, v, 0], size, seed1,
+    seed2); key_left must be >= 0 for all triples (-1 marks empty slots)."""
+    num = len(triples)
+    size = max(64, _next_pow2(int(num / load_factor) + 1))
+
+    def hash_py(l, r, seed, mask):
+        # pure-int mirror of cuckoo_hash (uint32 arithmetic)
+        h = (((l * 0x9E3779B1) ^ (r * 0x85EBCA77) ^ seed)) & 0xFFFFFFFF
+        h ^= h >> 15
+        h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
+        h ^= h >> 13
+        return h & mask
+
+    rng = np.random.RandomState(0)
+    for _attempt in range(32):
+        seed1 = int(rng.randint(1, 1 << 31))
+        seed2 = int(rng.randint(1, 1 << 31))
+        mask = size - 1
+        if num:
+            arr = np.asarray(triples, dtype=np.int64)
+            h1 = cuckoo_hash(arr[:, 0], arr[:, 1], seed1, size)
+        else:
+            arr = np.zeros((0, 3), dtype=np.int64)
+            h1 = np.zeros(0, dtype=np.int64)
+        # python-list slot store (fast scalar access during kicks)
+        slot_kl = [-1] * size
+        slot_kr = [-1] * size
+        slot_v = [0] * size
+        ok = True
+        max_kicks = 64 + 4 * max(1, num).bit_length()
+        for i in range(num):
+            cl, cr, cv = int(arr[i, 0]), int(arr[i, 1]), int(arr[i, 2])
+            slot = int(h1[i])
+            placed = False
+            for _ in range(max_kicks):
+                if slot_kl[slot] < 0:
+                    slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
+                    placed = True
+                    break
+                ol, orr, ov = slot_kl[slot], slot_kr[slot], slot_v[slot]
+                slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
+                cl, cr, cv = ol, orr, ov
+                s1 = hash_py(cl, cr, seed1, mask)
+                slot = hash_py(cl, cr, seed2, mask) if slot == s1 else s1
+            if not placed:
+                ok = False
+                break
+        if ok:
+            packed = np.zeros((size, 4), dtype=np.int32)
+            packed[:, 0] = slot_kl
+            packed[:, 1] = slot_kr
+            packed[:, 2] = slot_v
+            return packed, size, seed1, seed2
+        size <<= 1  # give the next attempt more room
+    raise InvalidConfigError("cuckoo table build failed")
+
+
 @dataclass
 class CuckooPairTable:
     """Two-choice cuckoo hash table of merge pairs, packed for row gathers.
@@ -204,61 +263,9 @@ class CuckooPairTable:
     def build(cls, ranks: dict[bytes, int], load_factor: float = 0.45
               ) -> "CuckooPairTable":
         pairs = _enumerate_pairs(ranks)
-        num_pairs = len(pairs)
-        size = max(64, _next_pow2(int(num_pairs / load_factor) + 1))
-
-        def hash_py(l, r, seed, mask):
-            # pure-int mirror of cuckoo_hash (uint32 arithmetic)
-            h = (((l * 0x9E3779B1) ^ (r * 0x85EBCA77) ^ seed)) & 0xFFFFFFFF
-            h ^= h >> 15
-            h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
-            h ^= h >> 13
-            return h & mask
-
-        rng = np.random.RandomState(0)
-        for _attempt in range(32):
-            seed1 = int(rng.randint(1, 1 << 31))
-            seed2 = int(rng.randint(1, 1 << 31))
-            mask = size - 1
-            if num_pairs:
-                arr = np.asarray(pairs, dtype=np.int64)
-                h1 = cuckoo_hash(arr[:, 0], arr[:, 1], seed1, size)
-                h2 = cuckoo_hash(arr[:, 0], arr[:, 1], seed2, size)
-            else:
-                arr = np.zeros((0, 3), dtype=np.int64)
-                h1 = h2 = np.zeros(0, dtype=np.int64)
-            # python-list slot store (fast scalar access during kicks)
-            slot_kl = [-1] * size
-            slot_kr = [-1] * size
-            slot_v = [0] * size
-            ok = True
-            max_kicks = 64 + 4 * max(1, num_pairs).bit_length()
-            for i in range(num_pairs):
-                cl, cr, cv = int(arr[i, 0]), int(arr[i, 1]), int(arr[i, 2])
-                slot = int(h1[i])
-                placed = False
-                for _ in range(max_kicks):
-                    if slot_kl[slot] < 0:
-                        slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
-                        placed = True
-                        break
-                    ol, orr, ov = slot_kl[slot], slot_kr[slot], slot_v[slot]
-                    slot_kl[slot], slot_kr[slot], slot_v[slot] = cl, cr, cv
-                    cl, cr, cv = ol, orr, ov
-                    s1 = hash_py(cl, cr, seed1, mask)
-                    slot = hash_py(cl, cr, seed2, mask) if slot == s1 else s1
-                if not placed:
-                    ok = False
-                    break
-            if ok:
-                packed = np.zeros((size, 4), dtype=np.int32)
-                packed[:, 0] = slot_kl
-                packed[:, 1] = slot_kr
-                packed[:, 2] = slot_v
-                return cls(packed=packed, size=size, seed1=seed1, seed2=seed2,
-                           num_pairs=num_pairs)
-            size <<= 1  # give the next attempt more room
-        raise InvalidConfigError("cuckoo table build failed")
+        packed, size, seed1, seed2 = _cuckoo_place(pairs, load_factor)
+        return cls(packed=packed, size=size, seed1=seed1, seed2=seed2,
+                   num_pairs=len(pairs))
 
     def lookup_host(self, left: int, right: int) -> int:
         for seed in (self.seed1, self.seed2):
@@ -382,49 +389,49 @@ def poly_sig(data: bytes, k: int) -> int:
     return h
 
 
-def _sig_slot_hash(sig: int, length: int, table_size: int) -> int:
-    """Mix a (signature, length) key into a slot index — uint32 arithmetic,
-    mirrored by the flat device probe."""
-    h = ((sig * 0x9E3779B1) ^ (length * 0x85EBCA77)) & 0xFFFFFFFF
-    h ^= h >> 15
-    h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
-    h ^= h >> 13
-    return h & (table_size - 1)
+def poly_sig31(data: bytes, k: int) -> int:
+    """31-bit polynomial signature (non-negative, so it can ride the same
+    device probe as (left, right) pair keys)."""
+    return poly_sig(data, k) & 0x7FFFFFFF
 
 
 @dataclass
-class FlatPieceTable:
-    """Whole-piece (poly_sig, length) -> rank index for the flat device path.
+class CuckooPieceTable:
+    """Whole-piece (poly_sig31, length) -> rank cuckoo index, shared by the
+    packed and flat device paths.
 
-    Same contract as PieceTable (the engine's whole-piece fast path:
-    reference src/tekkenizer.rs:125 delegates to an engine where a piece
-    that IS a vocab token encodes as that token), but keyed by the
-    scan-friendly polynomial signature so the flat kernel can compute every
-    piece's signature in one segmented associative scan.  The multiplier
-    ``k`` is chosen at build time so no two vocab tokens share a
-    (signature, length) pair; a match therefore names a unique candidate,
-    which the kernel byte-verifies against ``DecodeTable.padded_rows`` —
-    exactness never rests on the hash.
+    The engine's whole-piece fast path (reference src/tekkenizer.rs:125
+    delegates to an engine where a piece that IS a vocab token encodes as
+    that token before any merging) needs a bytes -> rank probe on device.
+    Keyed by the scan-friendly 31-bit polynomial signature: the flat kernel
+    computes every piece's signature with one segmented associative scan,
+    and the packed kernel with one masked lane dot-product against
+    precomputed powers of ``k``.  Exactly TWO row gathers per lookup (the
+    same ``probe2`` as pair lookups; a 33-deep linear-probe chain was the
+    dominant device cost before this).  The multiplier ``k`` is chosen at
+    build time so no two vocab tokens share a (signature, length) pair — a
+    match names a unique candidate, which callers byte-verify against the
+    decode table; exactness never rests on the hash.
     """
 
-    slots: np.ndarray       # (size, 4) int32 [sig, len, rank, 0]
+    packed: np.ndarray      # (size, 4) int32 [sig31, len, rank, 0]
     size: int
     k: int
-    max_probes: int
+    seed1: int
+    seed2: int
 
     # odd multipliers tried in order at build time
     _K_CANDIDATES = (0x01000193, 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D,
                      0x27D4EB2F, 0x165667B1, 0x5851F42D, 0x41C64E6D)
 
     @classmethod
-    def build(cls, ranks: dict[bytes, int], load_factor: float = 0.5
-              ) -> "FlatPieceTable":
-        size = max(64, _next_pow2(int(len(ranks) / load_factor) + 1))
+    def build(cls, ranks: dict[bytes, int], load_factor: float = 0.45
+              ) -> "CuckooPieceTable":
         for k in cls._K_CANDIDATES:
             sigs = set()
             collision = False
             for token_bytes in ranks:
-                key = (poly_sig(token_bytes, k), len(token_bytes))
+                key = (poly_sig31(token_bytes, k), len(token_bytes))
                 if key in sigs:
                     collision = True
                     break
@@ -432,38 +439,21 @@ class FlatPieceTable:
             if not collision:
                 break
         else:
-            raise InvalidConfigError("flat piece table: no collision-free "
+            raise InvalidConfigError("piece table: no collision-free "
                                      "multiplier found")
 
-        mask = size - 1
-        slots = np.zeros((size, 4), dtype=np.int32)
-        slots[:, 2] = -1
-        max_probes = 1
-        for token_bytes, rank in ranks.items():
-            sig = poly_sig(token_bytes, k)
-            s = _sig_slot_hash(sig, len(token_bytes), size)
-            probes = 1
-            while slots[s, 2] >= 0:
-                s = (s + 1) & mask
-                probes += 1
-            slots[s, 0] = PieceTable._sig_i32(sig)
-            slots[s, 1] = len(token_bytes)
-            slots[s, 2] = rank
-            max_probes = max(max_probes, probes)
-        return cls(slots=slots, size=size, k=k, max_probes=max_probes)
+        triples = [(poly_sig31(b, k), len(b), r) for b, r in ranks.items()]
+        packed, size, seed1, seed2 = _cuckoo_place(triples, load_factor)
+        return cls(packed=packed, size=size, k=k, seed1=seed1, seed2=seed2)
 
     def lookup_host(self, piece: bytes, decode_table: "DecodeTable") -> int:
-        mask = self.size - 1
-        sig = poly_sig(piece, self.k)
-        sig_i = PieceTable._sig_i32(sig)
-        s = _sig_slot_hash(sig, len(piece), self.size)
-        for _ in range(self.max_probes + 1):
-            if self.slots[s, 2] < 0:
-                return -1
-            if self.slots[s, 0] == sig_i and self.slots[s, 1] == len(piece):
-                r = int(self.slots[s, 2])
+        sig = poly_sig31(piece, self.k)
+        for seed in (self.seed1, self.seed2):
+            s = int(cuckoo_hash(sig, len(piece), seed, self.size))
+            if (self.packed[s, 0] == sig and self.packed[s, 1] == len(piece)
+                    and self.packed[s, 2] >= 0):
+                r = int(self.packed[s, 2])
                 return r if decode_table.token_bytes(r) == piece else -1
-            s = (s + 1) & mask
         return -1
 
 
