@@ -142,11 +142,11 @@ def main():
     sys.stderr.write(f"[bench] cuckoo table: {table.num_pairs} pairs, size "
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
-    # np_cap must exceed the mergeable-piece density (~bytes/7.6 on this
-    # corpus) or encode_batch falls back to the host; N/6 leaves headroom.
+    # np_cap counts ACTIVE pieces (multi-byte vocab misses; ~bytes/80 on
+    # this corpus) — N/16 leaves a wide margin, asserted after warmup.
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
     from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
-    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 6)
+    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 16)
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
@@ -161,7 +161,7 @@ def main():
     fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
                           enc._piece_k, enc._pseed1, enc._pseed2)
     tables = (enc._packed, enc._dense, enc._piece_packed,
-              enc._token_words)
+              enc._token_bytes)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
 

@@ -80,6 +80,33 @@ def _seg_polyhash(byte_vals, boundary, k: int):
     return h
 
 
+def _seg_polyhash_suffix(byte_vals, is_last, k: int):
+    """Per-position suffix polynomial hash anchored at the piece END:
+    ``g[i] = sum_{t=i..end} b_t * k^(end-t)`` (pieces delimited by
+    is_last=True at their final byte), plus the accumulated power
+    ``p[i] = k^(end-i+1)``.  Runs right-to-left; the combine is the forward
+    one with operand roles swapped (extending a suffix block on its LEFT
+    adds the new byte at the highest power): ``g = g_left_part *
+    p_right_part + g_right_part`` becomes, in reversed scan order,
+    ``g = v_b * p_a + v_a``.  Returns (g, p)."""
+    import jax
+    import jax.numpy as jnp
+
+    h0 = byte_vals[::-1].astype(jnp.uint32)
+    p0 = jnp.full(byte_vals.shape, np.uint32(k), dtype=jnp.uint32)
+    reset = is_last[::-1]
+
+    def combine(a, b):
+        ha, pa, ra = a
+        hb, pb, rb = b
+        return (jnp.where(rb, hb, hb * pa + ha),
+                jnp.where(rb, pb, pa * pb),
+                ra | rb)
+
+    g, p, _ = jax.lax.associative_scan(combine, (h0, p0, reset))
+    return g[::-1], p[::-1]
+
+
 def flat_encode_impl(byts, lengths, key_left, key_right, values,
                      max_probes: int, piece_packed=None, token_byte_rows=None,
                      poly_k: int = 0, pseed1: int = 0, pseed2: int = 0):

@@ -1,19 +1,24 @@
-"""Packed-piece device encode: the optimized production path.
+"""Packed-piece device encode: the optimized production path (flat-first).
 
-Improvements over ops/flat.py (measured on TPU v5e):
-- Pair lookups probe a cuckoo table packed as (size, 4) int32 rows
-  [key_left, key_right, merged_rank, 0] — a 4-wide row gather costs the
-  same as a scalar gather on TPU, and cuckoo needs exactly two slots, so a
-  lookup is 2 row-gathers instead of up to 17x3.
-- Mergeable pieces (length >= 2) are packed on device into a (NP, P) piece
-  matrix; per-round argmin is a cheap lane reduction instead of a full-buffer
-  segmented scan, and per-round re-probes touch only the piece matrix rows.
-- Single-byte pieces bypass merging entirely (their token is the byte rank).
+Design (measured on TPU v5e; tools/profile_packed_stages.py and
+tools/bench_lookup_primitives.py):
+- Whole-piece detection runs in flat byte space: two segmented poly-hash
+  scans give every byte its piece's 31-bit signature gather-free; a cuckoo
+  probe (2 row-gathers) + one byte-table gather verify exactly.  Pieces
+  that ARE vocab tokens — the vast majority of natural text — never touch
+  the merge machinery.
+- Only vocab-miss pieces are scattered (one width-4 row scatter) into a
+  small (NP, P) matrix; per-round argmin is a lane reduction and per-round
+  cuckoo re-probes touch only NP rows.
+- All pair lookups probe cuckoo tables packed as (size, 4) int32 rows —
+  a 4-wide row gather costs the same as a scalar gather on TPU, and cuckoo
+  needs exactly two slots.
+- Single-byte pieces and whole-piece hits emit tokens elementwise.
 
-Capacity handling (static shapes): NP = N/4 rows of P = 32 lanes.  Pieces
-longer than P or beyond the row capacity are flagged and returned for host
-fallback (scalar oracle), so parity is unconditional; natural text never
-overflows (pieces average ~6 bytes).
+Capacity (static shapes): NP rows (default N/16; counts only vocab-miss
+pieces) of P = 32 lanes.  Pieces longer than P or beyond row capacity are
+flagged and returned for host fallback (scalar oracle), so parity is
+unconditional.
 """
 
 from __future__ import annotations
@@ -64,81 +69,39 @@ def _inv_u32(k: int) -> int:
     return inv
 
 
-def whole_piece_lookup(ranks0, nseg0, piece_packed, token_words,
-                       k: int, seed1: int, seed2: int):
-    """Device whole-piece fast path.
-
-    Signature = vocab.poly_sig31 of the row's bytes, computed as ONE masked
-    lane dot-product against precomputed powers of ``k`` plus an
-    inverse-power length correction (sum_{l<L} b_l k^(P-1-l) equals
-    sig * k^(P-L) mod 2^32, and k is odd hence invertible) — no sequential
-    per-lane loop.  Lookup = probe2 on the CuckooPieceTable (two row
-    gathers), then exact verification against word-packed token bytes (one
-    8-wide row gather).  Returns int32 (NP,) rank or -1 per row.
-    """
-    import jax.numpy as jnp
-
-    NP, P = ranks0.shape
-    lanes = jnp.arange(P, dtype=jnp.int32)[None, :]
-
-    # powers k^(P-1-lane) mod 2^32
-    kp = np.zeros(P, dtype=np.uint32)
-    acc = 1
-    for lane in reversed(range(P)):
-        kp[lane] = acc
-        acc = (acc * k) & 0xFFFFFFFF
-    kp_j = jnp.asarray(kp)
-
-    in_len = lanes < nseg0[:, None]
-    b = jnp.where(in_len, ranks0.astype(jnp.uint32) & jnp.uint32(0xFF),
-                  jnp.uint32(0))
-    t = jnp.sum(b * kp_j[None, :], axis=1, dtype=jnp.uint32)
-
-    # sig = t * inv(k)^(P-L): compose the inverse power from the bits of P-L
-    j = (P - nseg0).astype(jnp.uint32)
-    invk = _inv_u32(k)
-    m = jnp.ones((NP,), dtype=jnp.uint32)
-    ipow = invk
-    for bit in range(6):  # P <= 32 -> P-L < 64
-        m = jnp.where((j >> jnp.uint32(bit)) & 1 == 1,
-                      m * jnp.uint32(ipow), m)
-        ipow = (ipow * ipow) & 0xFFFFFFFF
-    sig = ((t * m) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-
-    cand = probe2(sig, jnp.where(nseg0 >= 2, nseg0, -1),
-                  piece_packed, seed1, seed2)
-    found = jnp.where(cand == INF, -1, cand)
-
-    # exact verification: pack the piece bytes into little-endian words and
-    # compare against the candidate token's word row
-    W = P // 4
-    b4 = b.reshape(NP, W, 4)
-    piece_words = (b4[:, :, 0]
-                   | (b4[:, :, 1] << jnp.uint32(8))
-                   | (b4[:, :, 2] << jnp.uint32(16))
-                   | (b4[:, :, 3] << jnp.uint32(24))).astype(jnp.int32)
-    cand_words = token_words[jnp.maximum(found, 0)]   # (NP, W) row gather
-    ok = (found >= 0) & jnp.all(piece_words == cand_words, axis=1)
-    return jnp.where(ok, found, -1)
-
-
 def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
-                       token_words, seed1: int, seed2: int,
+                       token_byte_rows, seed1: int, seed2: int,
                        piece_k: int = 0, pseed1: int = 0, pseed2: int = 0,
-                       np_cap: int | None = None):
-    """Encode a (B, R) document-row buffer.
+                       np_cap: int | None = None, _stage: int | None = None):
+    """Encode a (B, R) document-row buffer — flat-first architecture.
+
+    Whole-piece detection runs in FLAT byte space (two segmented poly-hash
+    scans give every position its piece's signature gather-free; one cuckoo
+    probe + one byte-table gather verify exactly), so only pieces that MISS
+    the vocabulary — a few percent of natural text — are scattered into the
+    (NP, P) merge matrix.  That shrinks the matrix, its scatters, the merge
+    rounds, and the un-scatter by an order of magnitude versus packing
+    every multi-byte piece (measured: the matrix machinery dominated the
+    old kernel at ~24ms/256KB on v5e; tools/profile_packed_stages.py).
+
+    ``_stage`` (profiling only): cut the pipeline after stage k and return
+    a checksum scalar instead of outputs, so per-stage device cost can be
+    measured on the live code (XLA dead-code-eliminates the rest).
 
     Returns (out i32[N] left-aligned tokens, out_pos i32[N] flat byte pos,
     n_out, fb_start i32[NP] byte offsets of fallback pieces (-1 = none),
-    fb_len i32[NP]).  Fallback pieces produce no tokens on device; the host
-    splices oracle results at their positions.
+    fb_len i32[NP], n_mp).  Fallback pieces (longer than P lanes or beyond
+    row capacity, and not vocab tokens) produce no tokens on device; the
+    host splices oracle results at their positions.  n_mp > np_cap means
+    capacity overflow: pieces beyond NP could not even be recorded as
+    fallbacks and the host must re-encode the whole batch.
     """
     import jax
     import jax.numpy as jnp
 
     B, R = byts.shape
     N = B * R
-    NP = np_cap if np_cap is not None else max(64, N // 4)
+    NP = np_cap if np_cap is not None else max(64, N // 16)
 
     row_bound = jax.vmap(byte_boundaries)(byts, lengths)
     boundary = row_bound.reshape(N)
@@ -161,98 +124,139 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     last_pos = jax.lax.cummin(jnp.where(is_last, idx, BIGN)[::-1])[::-1]
     plen = jnp.where(valid, last_pos - pstart + 1, 0)
 
-    mergeable = valid & (plen >= 2)
+    multi = valid & (plen >= 2)
     is_pstart = boundary & valid
-    # mergeable-piece index: rank among mergeable piece starts; the ids are
-    # nondecreasing, so broadcasting through the piece is again a cummax
-    # (positions of non-mergeable pieces get a stale id, never used)
-    mp_mark = is_pstart & mergeable
+    if _stage == 1:  # scans
+        return plen.sum() + pstart.sum()
+
+    # --- whole-piece fast path, flat space (reference engine semantics: a
+    # piece whose bytes are a vocab token encodes as that token before any
+    # merging).  sig[i] = poly hash of the WHOLE piece containing i,
+    # assembled from a forward prefix-hash scan and a reverse suffix-hash
+    # scan: sig = h_prefix(i) * k^(end-i) + g_suffix(i+1) — no gathers. ---
+    hit_piece = jnp.zeros(N, dtype=bool)
+    found = jnp.full(N, -1, jnp.int32)
+    if piece_k:
+        from .flat import _seg_polyhash, _seg_polyhash_suffix
+
+        byte_u = jnp.where(valid, byts.reshape(N), 0)
+        h = _seg_polyhash(byte_u, boundary, piece_k)          # prefix hash
+        # suffix hash anchored at the piece end
+        # (g[i] = sum_{j>=i in piece} b_j * k^(end-j)) and its power
+        # p_rev[i] = k^(end-i+1): the prefix term's multiplier k^(end-i)
+        # is exactly p_rev at i+1
+        gp, p_rev = _seg_polyhash_suffix(byte_u, is_last, piece_k)
+        g_next = jnp.concatenate([gp[1:], jnp.zeros(1, jnp.uint32)])
+        p_next = jnp.concatenate([p_rev[1:], jnp.ones(1, jnp.uint32)])
+        sfx = jnp.where(is_last, jnp.uint32(0), g_next)
+        pw = jnp.where(is_last, jnp.uint32(1), p_next)
+        sig = h * pw + sfx
+        sig31 = (sig & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        if _stage == 2:  # + piece signatures
+            return sig31.sum()
+
+        cand = probe2(sig31, jnp.where(multi, plen, -1),
+                      piece_packed, pseed1, pseed2)
+        found = jnp.where(cand == INF, -1, cand)
+
+        # exact verification: candidate token byte at this offset
+        V, Lcap = token_byte_rows.shape
+        tb_flat = token_byte_rows.reshape(V * Lcap)
+        vidx = jnp.clip(jnp.maximum(found, 0) * Lcap + offset,
+                        0, V * Lcap - 1)
+        ok_pos = (found >= 0) & (tb_flat[vidx] == byte_u) & valid
+        # suffix AND over each piece; its value at pstart covers the whole
+        # piece; broadcast forward with a packed cummax
+
+        def and_comb(a, b):
+            va, ra = a
+            vb, rb = b
+            return jnp.where(rb, vb, va & vb), ra | rb
+        ok_sfx, _ = jax.lax.associative_scan(
+            and_comb, (ok_pos[::-1], is_last[::-1]))
+        ok_sfx = ok_sfx[::-1]
+        pc = jax.lax.cummax(jnp.where(
+            boundary, idx * 2 + ok_sfx.astype(jnp.int32), -1))
+        hit_piece = multi & (found >= 0) & ((pc & 1) == 1)
+    if _stage == 3:  # + probe + verify
+        return hit_piece.astype(jnp.int32).sum() + found.sum()
+
+    # --- active pieces (vocab misses) get the merge matrix ---
+    active = multi & ~hit_piece
+    mp_mark = is_pstart & active
     mp_id_at_start = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
     mp_id = jax.lax.cummax(jnp.where(mp_mark, mp_id_at_start, -1))
     n_mp = jnp.sum(mp_mark.astype(jnp.int32))
 
-    in_matrix = mergeable & (offset < P_LANES) & (mp_id < NP)
     # fallback: oversize (len > P) or capacity overflow
-    fb_piece = mergeable & ((plen > P_LANES) | (mp_id >= NP))
+    fb_piece = active & ((plen > P_LANES) | (mp_id >= NP))
+    ok = active & ~fb_piece
 
-    # --- initial pair ranks in flat space: segments start as single
-    # bytes, so every first-round query is a (byte, byte) pair — one gather
-    # from the dense 64K-entry table instead of two cuckoo probes ---
+    # initial pair ranks: segments start as single bytes, so every
+    # first-round query is a (byte, byte) pair — one gather from the dense
+    # 64K-entry table instead of two cuckoo probes
     nxt_rank = jnp.concatenate([byte_rank[1:], jnp.full(1, -1, jnp.int32)])
     same_piece = jnp.concatenate([boundary[1:] == False,  # noqa: E712
                                   jnp.zeros(1, dtype=bool)]) & valid
-    q_ok = same_piece & mergeable & (nxt_rank >= 0)
+    q_ok = same_piece & ok & (nxt_rank >= 0)
     dense_idx = jnp.where(q_ok, byte_rank * 256 + nxt_rank, 0)
     flat_pr = jnp.where(q_ok, dense_tab[dense_idx], INF)
 
-    # --- scatter into (NP, P) matrices ---
-    # same-index scatters are packed into row scatters (cost is per row)
-    ok = in_matrix & ~fb_piece
-    flat_tgt = jnp.where(ok, mp_id * P_LANES + offset, NP * P_LANES)
-    init_rp = jnp.broadcast_to(
-        jnp.array([-1, INF], jnp.int32)[None, :], (NP * P_LANES, 2))
-    rp = init_rp.at[flat_tgt].set(
-        jnp.stack([byte_rank, flat_pr], axis=1), mode="drop")
-    ranks0 = rp[:, 0].reshape(NP, P_LANES)
-    pr0 = rp[:, 1].reshape(NP, P_LANES)
+    # --- build the matrices with SEPARATE width-1 scatters: interleaved
+    # multi-column row scatters measured 4x slower on TPU
+    # (tools/bench_scatter_strategies.py: width-4 10.5ms vs 4x width-1
+    # 5.0ms at these shapes) ---
+    tgt = jnp.where(ok, mp_id * P_LANES + offset, NP * P_LANES)
+    ranks0 = jnp.full(NP * P_LANES, -1, jnp.int32).at[tgt].set(
+        byte_rank, mode="drop").reshape(NP, P_LANES)
+    pr0 = jnp.full(NP * P_LANES, INF, jnp.int32).at[tgt].set(
+        flat_pr, mode="drop").reshape(NP, P_LANES)
 
-    init_sn = jnp.broadcast_to(
-        jnp.array([-1, 0], jnp.int32)[None, :], (NP, 2))
-    sn = init_sn.at[
-        jnp.where(mp_mark & ~fb_piece, mp_id, NP)].set(
-        jnp.stack([pstart, plen], axis=1), mode="drop")
-    start0, nseg0 = sn[:, 0], sn[:, 1]
+    # per-row start/length land at row granularity; a fallback piece owns
+    # its row but contributes no lanes, marked by a negative length
+    row_write = mp_mark & active & (mp_id < NP)
+    tgt_row = jnp.where(row_write, mp_id, NP)
+    start0 = jnp.full(NP, -1, jnp.int32).at[tgt_row].set(
+        pstart, mode="drop")
+    sl = jnp.zeros(NP, jnp.int32).at[tgt_row].set(
+        jnp.where(fb_piece, -plen, plen), mode="drop")
+    nseg0 = jnp.maximum(sl, 0)
+    fb_start = jnp.where(sl < 0, start0, -1)
+    fb_len = jnp.where(sl < 0, -sl, 0)
+    start0 = jnp.where(sl > 0, start0, -1)
+    if _stage == 4:  # + dense probe + matrix scatter
+        return (ranks0.sum() + pr0.sum() + start0.sum() + nseg0.sum()
+                + fb_start.sum() + fb_len.sum())
 
-    init_fb = jnp.broadcast_to(
-        jnp.array([-1, 0], jnp.int32)[None, :], (NP, 2))
-    fbv = init_fb.at[
-        jnp.where(mp_mark & fb_piece, mp_id, NP)].set(
-        jnp.stack([pstart, plen], axis=1), mode="drop")
-    fb_start, fb_len = fbv[:, 0], fbv[:, 1]
-
-    # --- whole-piece fast path (reference engine semantics: a piece whose
-    # bytes are a vocab token encodes as that token before any merging) ---
-    if piece_k:
-        whole = whole_piece_lookup(ranks0, nseg0, piece_packed, token_words,
-                                   piece_k, pseed1, pseed2)
-        hit = whole >= 0
-        lane0 = jnp.arange(P_LANES, dtype=jnp.int32)[None, :] == 0
-        ranks0 = jnp.where(hit[:, None] & lane0, whole[:, None],
-                           jnp.where(hit[:, None], -1, ranks0))
-        pr0 = jnp.where(hit[:, None], INF, pr0)
-        nseg0 = jnp.where(hit, 1, nseg0)
-
-    # --- bucketed merge rounds (compact-shift layout, ops/bpe.py) ---
+    # --- merge rounds (compact-shift layout, ops/bpe.py) ---
     from .bpe import merge_rows_compact
 
     pos = jnp.arange(P_LANES, dtype=jnp.int32)[None, :]
     rank, n_seg = merge_rows_compact(ranks0, pr0, nseg0, packed_table,
                                      seed1, seed2)
+    if _stage == 5:  # + merge rounds
+        return rank.sum() + n_seg.sum()
 
-    # --- scatter merged tokens back to flat byte positions ---
-    # token present at byte position b iff:
-    #   single-byte piece start, or a surviving compacted lane.  Compacted
-    #   lane k of row r maps to byte position start0[r] + k: unique and
-    #   order-preserving because a piece's token count never exceeds its
-    #   byte length.
-    tok_flat = jnp.full(N, -1, jnp.int32)
+    # --- assemble the token stream ---
+    # singles and whole-piece hits are elementwise; only merged-piece lanes
+    # scatter back (NP*P rows, an order of magnitude smaller than before)
     single = is_pstart & (plen == 1)
-    tok_flat = jnp.where(single, byte_rank, tok_flat)
+    tok_flat = jnp.where(single, byte_rank,
+                         jnp.where(is_pstart & hit_piece, found, -1))
     lane_byte_pos = start0[:, None] + pos            # (NP, P)
     lane_ok = (pos < n_seg[:, None]) & (start0[:, None] >= 0)
     tok_flat = tok_flat.at[
         jnp.where(lane_ok, lane_byte_pos, N)].set(
         jnp.where(lane_ok, rank, -1), mode="drop")
+    if _stage == 6:  # + lane un-scatter
+        return tok_flat.sum()
 
     has_tok = tok_flat >= 0
     order = jnp.cumsum(has_tok.astype(jnp.int32)) - 1
     sidx = jnp.where(has_tok, order, N)
-    op = jnp.full((N, 2), -1, jnp.int32).at[sidx].set(
-        jnp.stack([tok_flat, idx], axis=1), mode="drop")
-    out, out_pos = op[:, 0], op[:, 1]
+    out = jnp.full(N, -1, jnp.int32).at[sidx].set(tok_flat, mode="drop")
+    out_pos = jnp.full(N, -1, jnp.int32).at[sidx].set(idx, mode="drop")
     n_out = jnp.sum(has_tok.astype(jnp.int32))
-    # n_mp > NP means capacity overflow: pieces beyond NP could not even be
-    # recorded as fallbacks — the host must re-encode the whole batch.
     return out, out_pos, n_out, fb_start, fb_len, n_mp
 
 
@@ -283,14 +287,17 @@ class PackedEncoder:
         pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
         self._piece_packed = jnp.asarray(pt.packed)
-        self._token_words = jnp.asarray(dt.word_packed(P_LANES))
+        self._token_bytes = jnp.asarray(dt.padded_rows())
         self._piece_k = int(pt.k)
         self._pseed1 = int(pt.seed1)
         self._pseed2 = int(pt.seed2)
         self._B = rows
         self._R = row_len
+        # capacity is for ACTIVE pieces (multi-byte vocab misses) only;
+        # N/8 covers even 50%-miss corpora, and overflow degrades to an
+        # exact full-batch host fallback rather than wrong output
         self._np_cap = np_cap if np_cap is not None else max(
-            64, rows * row_len // 4)
+            64, rows * row_len // 8)
         self._ranks = tokenizer.ranks
 
     def pack(self, texts):
@@ -318,7 +325,7 @@ class PackedEncoder:
                               self._piece_k, self._pseed1, self._pseed2)
         out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
-            self._dense, self._piece_packed, self._token_words)
+            self._dense, self._piece_packed, self._token_bytes)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

@@ -306,13 +306,15 @@ def byte_boundaries(byts, length):
 
     # compact chars: char k lives at byte position lead_pos[k]
     char_idx = jnp.cumsum(is_lead.astype(jnp.int32)) - 1  # per byte
-    # scatter lead-byte positions + codepoints into char-order arrays with
-    # ONE row scatter (same indices; scatter cost is per row on TPU);
+    # scatter lead-byte positions / codepoints into char-order arrays as
+    # two separate width-1 scatters (interleaved multi-column scatters
+    # measured far slower on TPU — tools/bench_scatter_strategies.py);
     # invalid rows routed out of bounds and dropped
     scatter_idx = jnp.where(is_lead, char_idx, L)
-    both = jnp.zeros((L, 2), dtype=jnp.int32).at[scatter_idx].set(
-        jnp.stack([idx, cp], axis=1), mode="drop")
-    lead_pos, cp_char = both[:, 0], both[:, 1]
+    lead_pos = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(
+        idx, mode="drop")
+    cp_char = jnp.zeros(L, dtype=jnp.int32).at[scatter_idx].set(
+        cp, mode="drop")
     nchars = jnp.sum(is_lead.astype(jnp.int32))
     char_valid = jnp.arange(L, dtype=jnp.int32) < nchars
 

@@ -46,8 +46,7 @@ class DistributedEncoder:
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
         self._pslots = replicated(self.mesh, np.asarray(pt.packed))
-        from ..ops.packed import P_LANES
-        self._twords = replicated(self.mesh, dt.word_packed(P_LANES))
+        self._twords = replicated(self.mesh, dt.padded_rows())
         self._ranks = tokenizer.ranks
 
         self._step = self._build_step()

@@ -85,6 +85,33 @@ def main():
             b.astype(jnp.int32), mode="drop").sum()
     cases["scat"] = (repeat(scat), byts)
 
+    def scat2(b):
+        v = b.astype(jnp.int32)
+        i = v * 1021 % N
+        return jnp.zeros((N, 2), jnp.int32).at[i].set(
+            jnp.stack([v, v + 1], axis=1), mode="drop").sum()
+    cases["scat2"] = (repeat(scat2), byts)
+
+    def scat4(b):
+        v = b.astype(jnp.int32)
+        i = v * 1021 % N
+        return jnp.zeros((N, 4), jnp.int32).at[i].set(
+            jnp.stack([v, v + 1, v + 2, v + 3], axis=1), mode="drop").sum()
+    cases["scat4"] = (repeat(scat4), byts)
+
+    def stack2(b):
+        v = b.astype(jnp.int32)
+        return jnp.stack([v, v + 1], axis=1).sum()
+    cases["stack2"] = (repeat(stack2), byts)
+
+    def scat1x2(b):
+        v = b.astype(jnp.int32)
+        i = v * 1021 % N
+        a = jnp.zeros(N, jnp.int32).at[i].set(v, mode="drop")
+        c = jnp.zeros(N, jnp.int32).at[i].set(v + 1, mode="drop")
+        return a.sum() + c.sum()
+    cases["scat1x2"] = (repeat(scat1x2), byts)
+
     idx = jnp.arange(N, dtype=jnp.int32)
     cases["shiftg"] = (repeat(
         lambda b: b[jnp.clip(idx + 1, 0, N - 1)].astype(jnp.int32).sum()),

@@ -45,7 +45,7 @@ def build_setup():
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
     from tekken_tpu.ops.packed import PackedEncoder
     enc = PackedEncoder(tok, rows=B, row_len=R,
-                        np_cap=B * R // 6)
+                        np_cap=B * R // 16)
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     buf, lengths = enc.pack(docs)
     return enc, buf, lengths, sum(len(d.encode()) for d in docs)
@@ -64,39 +64,54 @@ def main():
     from tekken_tpu.ops.packed import packed_encode_impl
     from tekken_tpu.ops.pretokenize import byte_boundaries
 
-    def perturb(byts, i):
-        # letters stay letters: stable work profile across iterations
-        return jnp.where(byts == 0x61,
-                         (0x61 + (i & 1)).astype(byts.dtype), byts)
+    def perturb(lengths, i):
+        # vary lengths by one byte: defeats CSE/loop-invariant code motion
+        # while preserving the work profile (same corpus, same hit rates)
+        return lengths - (i & 1)
 
     @jax.jit
     def run_boundaries(byts, lengths):
         def body(i, acc):
-            b2 = perturb(byts, i)
-            rb = jax.vmap(byte_boundaries)(b2, lengths)
+            l2 = perturb(lengths, i)
+            rb = jax.vmap(byte_boundaries)(byts, l2)
             return acc + rb.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
-    @jax.jit
-    def run_full(byts, lengths):
-        def body(i, acc):
-            b2 = perturb(byts, i)
-            out, out_pos, n_out, fb_s, fb_l, n_mp = packed_encode_impl(
-                b2, lengths, enc._packed, enc._dense, enc._piece_packed,
-                enc._token_words, enc._seed1, enc._seed2,
-                piece_k=enc._piece_k, pseed1=enc._pseed1,
-                pseed2=enc._pseed2, np_cap=enc._np_cap)
-            return (acc + out.sum() + out_pos.sum() + n_out
-                    + fb_s.sum() + fb_l.sum() + n_mp)
-        return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+    def make_stage(stage):
+        @jax.jit
+        def run(byts, lengths):
+            def body(i, acc):
+                l2 = perturb(lengths, i)
+                r = packed_encode_impl(
+                    byts, l2, enc._packed, enc._dense, enc._piece_packed,
+                    enc._token_bytes, enc._seed1, enc._seed2,
+                    piece_k=enc._piece_k, pseed1=enc._pseed1,
+                    pseed2=enc._pseed2, np_cap=enc._np_cap, _stage=stage)
+                if stage is None:
+                    out, out_pos, n_out, fb_s, fb_l, n_mp = r
+                    r = (out.sum() + out_pos.sum() + n_out
+                         + fb_s.sum() + fb_l.sum() + n_mp)
+                return acc + r
+            return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+        return run
 
-    for name, fn in [("boundaries", run_boundaries), ("full", run_full)]:
+    cases = [("boundaries", run_boundaries)]
+    stage_names = {1: "scans", 2: "+signatures", 3: "+probe+verify",
+                   4: "+matrix-scatter", 5: "+merge-rounds",
+                   6: "+lane-unscatter", None: "full"}
+    for st in [1, 2, 3, 4, 5, 6, None]:
+        cases.append((stage_names[st], make_stage(st)))
+
+    prev = 0.0
+    for name, fn in cases:
         _ = int(fn(jbuf, jlen))  # compile+warm
         t0 = time.time()
         _ = int(fn(jbuf, jlen))
         dt = (time.time() - t0) / REPS
-        print(f"{name:12s} {dt * 1e3:8.2f} ms/iter  "
-              f"({nbytes / dt / 1e6:8.1f} MB/s)", flush=True)
+        print(f"{name:16s} {dt * 1e3:8.2f} ms/iter  delta "
+              f"{(dt - prev) * 1e3:7.2f}  ({nbytes / dt / 1e6:8.1f} MB/s)",
+              flush=True)
+        prev = dt
 
 
 if __name__ == "__main__":
