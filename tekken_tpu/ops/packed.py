@@ -103,7 +103,18 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     N = B * R
     NP = np_cap if np_cap is not None else max(64, N // 16)
 
-    row_bound = jax.vmap(byte_boundaries)(byts, lengths)
+    # ASCII batches (the common case for English corpora; padding is 0)
+    # take a gather/scatter-free boundary pass — one batch-level cond, so
+    # mixed batches still get the full UTF-8 path
+    from .pretokenize import ascii_packed_lookup, byte_boundaries_ascii
+
+    def bnd_ascii(b):
+        pk = ascii_packed_lookup(b)
+        return jax.vmap(byte_boundaries_ascii)(b, lengths, pk)
+
+    row_bound = jax.lax.cond(
+        jnp.all(byts < 0x80), bnd_ascii,
+        lambda b: jax.vmap(byte_boundaries)(b, lengths), byts)
     boundary = row_bound.reshape(N)
 
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -165,16 +176,12 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
         vidx = jnp.clip(jnp.maximum(found, 0) * Lcap + offset,
                         0, V * Lcap - 1)
         ok_pos = (found >= 0) & (tb_flat[vidx] == byte_u) & valid
-        # suffix AND over each piece; its value at pstart covers the whole
-        # piece; broadcast forward with a packed cummax
-
-        def and_comb(a, b):
-            va, ra = a
-            vb, rb = b
-            return jnp.where(rb, vb, va & vb), ra | rb
-        ok_sfx, _ = jax.lax.associative_scan(
-            and_comb, (ok_pos[::-1], is_last[::-1]))
-        ok_sfx = ok_sfx[::-1]
+        # piece-AND of ok_pos: a piece verifies iff the first bad position
+        # at/after its start lies beyond its last byte — one native reverse
+        # cummin (6x an associative scan on TPU) read at pstart, broadcast
+        # forward with a packed cummax
+        first_bad = jax.lax.cummin(jnp.where(~ok_pos, idx, BIGN)[::-1])[::-1]
+        ok_sfx = first_bad > last_pos
         pc = jax.lax.cummax(jnp.where(
             boundary, idx * 2 + ok_sfx.astype(jnp.int32), -1))
         hit_piece = multi & (found >= 0) & ((pc & 1) == 1)
@@ -192,63 +199,91 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     fb_piece = active & ((plen > P_LANES) | (mp_id >= NP))
     ok = active & ~fb_piece
 
-    # initial pair ranks: segments start as single bytes, so every
-    # first-round query is a (byte, byte) pair — one gather from the dense
-    # 64K-entry table instead of two cuckoo probes
-    nxt_rank = jnp.concatenate([byte_rank[1:], jnp.full(1, -1, jnp.int32)])
-    same_piece = jnp.concatenate([boundary[1:] == False,  # noqa: E712
-                                  jnp.zeros(1, dtype=bool)]) & valid
-    q_ok = same_piece & ok & (nxt_rank >= 0)
-    dense_idx = jnp.where(q_ok, byte_rank * 256 + nxt_rank, 0)
-    flat_pr = jnp.where(q_ok, dense_tab[dense_idx], INF)
-
-    # --- build the matrices with SEPARATE width-1 scatters: interleaved
-    # multi-column row scatters measured 4x slower on TPU
-    # (tools/bench_scatter_strategies.py: width-4 10.5ms vs 4x width-1
-    # 5.0ms at these shapes) ---
+    # --- build the merge matrix with width-1 scatters (interleaved
+    # multi-column row scatters measured 4x slower on TPU —
+    # tools/bench_scatter_strategies.py).  First-round pair ranks are NOT
+    # scattered: they are recomputed from the tier slice below (rows*P
+    # elements instead of N), which also drops the N-sized dense-table
+    # gather from this stage. ---
     tgt = jnp.where(ok, mp_id * P_LANES + offset, NP * P_LANES)
     ranks0 = jnp.full(NP * P_LANES, -1, jnp.int32).at[tgt].set(
         byte_rank, mode="drop").reshape(NP, P_LANES)
-    pr0 = jnp.full(NP * P_LANES, INF, jnp.int32).at[tgt].set(
-        flat_pr, mode="drop").reshape(NP, P_LANES)
 
     # per-row start/length land at row granularity; a fallback piece owns
-    # its row but contributes no lanes, marked by a negative length
+    # its row but contributes no lanes, marked by the fb bit
     row_write = mp_mark & active & (mp_id < NP)
     tgt_row = jnp.where(row_write, mp_id, NP)
-    start0 = jnp.full(NP, -1, jnp.int32).at[tgt_row].set(
-        pstart, mode="drop")
-    sl = jnp.zeros(NP, jnp.int32).at[tgt_row].set(
-        jnp.where(fb_piece, -plen, plen), mode="drop")
-    nseg0 = jnp.maximum(sl, 0)
-    fb_start = jnp.where(sl < 0, start0, -1)
-    fb_len = jnp.where(sl < 0, -sl, 0)
-    start0 = jnp.where(sl > 0, start0, -1)
-    if _stage == 4:  # + dense probe + matrix scatter
-        return (ranks0.sum() + pr0.sum() + start0.sum() + nseg0.sum()
+    if N <= (1 << 18) and R <= (1 << 13):
+        # (pstart, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
+        # over the N-sized source instead of two
+        word = ((pstart.astype(jnp.uint32) << jnp.uint32(14))
+                | (plen.astype(jnp.uint32) << jnp.uint32(1))
+                | fb_piece.astype(jnp.uint32))
+        w = jnp.zeros(NP, jnp.uint32).at[tgt_row].set(word, mode="drop")
+        start_r = (w >> jnp.uint32(14)).astype(jnp.int32)
+        plen_r = ((w >> jnp.uint32(1)) & jnp.uint32(0x1FFF)).astype(jnp.int32)
+        fb_r = (w & jnp.uint32(1)) == jnp.uint32(1)
+        nseg0 = jnp.where(fb_r, 0, plen_r)
+        fb_start = jnp.where(fb_r, start_r, -1)
+        fb_len = jnp.where(fb_r, plen_r, 0)
+        start0 = jnp.where(~fb_r & (plen_r > 0), start_r, -1)
+    else:
+        start0 = jnp.full(NP, -1, jnp.int32).at[tgt_row].set(
+            pstart, mode="drop")
+        sl = jnp.zeros(NP, jnp.int32).at[tgt_row].set(
+            jnp.where(fb_piece, -plen, plen), mode="drop")
+        nseg0 = jnp.maximum(sl, 0)
+        fb_start = jnp.where(sl < 0, start0, -1)
+        fb_len = jnp.where(sl < 0, -sl, 0)
+        start0 = jnp.where(sl > 0, start0, -1)
+    if _stage == 4:  # + matrix scatter
+        return (ranks0.sum() + start0.sum() + nseg0.sum()
                 + fb_start.sum() + fb_len.sum())
 
-    # --- merge rounds (compact-shift layout, ops/bpe.py) ---
+    # --- merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py).
+    # Tiered row count: every per-round gather/probe costs O(rows), and the
+    # row capacity NP is a safety bound far above the typical active-piece
+    # count (vocab misses are a few percent of natural text).  mp_id is a
+    # prefix cumsum, so active rows are ALREADY front-compacted: when the
+    # batch's actual count fits a quarter (or sixteenth) of capacity, the
+    # whole merge stage — first-round dense-table pair probe, merge loop,
+    # and token un-scatter — runs on a static slice.  No compaction pass,
+    # just a lax.cond picking the smallest sufficient tier. ---
     from .bpe import merge_rows_compact
 
     pos = jnp.arange(P_LANES, dtype=jnp.int32)[None, :]
-    rank, n_seg = merge_rows_compact(ranks0, pr0, nseg0, packed_table,
-                                     seed1, seed2)
-    if _stage == 5:  # + merge rounds
-        return rank.sum() + n_seg.sum()
-
-    # --- assemble the token stream ---
-    # singles and whole-piece hits are elementwise; only merged-piece lanes
-    # scatter back (NP*P rows, an order of magnitude smaller than before)
+    # singles and whole-piece hits emit elementwise; merged lanes scatter in
     single = is_pstart & (plen == 1)
-    tok_flat = jnp.where(single, byte_rank,
+    tok_base = jnp.where(single, byte_rank,
                          jnp.where(is_pstart & hit_piece, found, -1))
-    lane_byte_pos = start0[:, None] + pos            # (NP, P)
-    lane_ok = (pos < n_seg[:, None]) & (start0[:, None] >= 0)
-    tok_flat = tok_flat.at[
-        jnp.where(lane_ok, lane_byte_pos, N)].set(
-        jnp.where(lane_ok, rank, -1), mode="drop")
-    if _stage == 6:  # + lane un-scatter
+
+    def merge_tier(rows):
+        def run(args):
+            r0, n0, s0, tok = args
+            r0, n0, s0 = r0[:rows], n0[:rows], s0[:rows]
+            # initial pair ranks: segments start as single bytes, so every
+            # first-round query is a (byte, byte) pair — one gather from
+            # the dense 64K table, on rows*P elements instead of N
+            right = jnp.concatenate(
+                [r0[:, 1:], jnp.full((rows, 1), -1, jnp.int32)], axis=1)
+            q_ok = (pos + 1 < n0[:, None]) & (r0 >= 0) & (right >= 0)
+            pr0 = jnp.where(
+                q_ok, dense_tab[jnp.where(q_ok, r0 * 256 + right, 0)], INF)
+            r, n = merge_rows_compact(r0, pr0, n0, packed_table,
+                                      seed1, seed2)
+            lane_byte_pos = s0[:, None] + pos        # (rows, P)
+            lane_ok = (pos < n[:, None]) & (s0[:, None] >= 0)
+            return tok.at[jnp.where(lane_ok, lane_byte_pos, N)].set(
+                jnp.where(lane_ok, r, -1), mode="drop")
+        return run
+
+    tiers = sorted({max(64, NP // 16), max(64, NP // 4), NP})
+    branch = merge_tier(tiers[-1])
+    for rows in reversed(tiers[:-1]):
+        branch = (lambda small, big, rows: lambda args: jax.lax.cond(
+            n_mp <= rows, small, big, args))(merge_tier(rows), branch, rows)
+    tok_flat = branch((ranks0, nseg0, start0, tok_base))
+    if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
 
     has_tok = tok_flat >= 0

@@ -117,7 +117,7 @@ def _shift(arr, k, fill):
         n, fill, arr.dtype)
 
 
-def _char_boundaries(cp, is_valid):
+def _char_boundaries(cp, is_valid, pk=None):
     """Piece-start flags at char positions — gather-free formulation.
 
     Every rule of the Tekken pattern is expressed per-element with:
@@ -143,13 +143,14 @@ def _char_boundaries(cp, is_valid):
     import jax
     import jax.numpy as jnp
 
-    packed_tab = jnp.asarray(unicode_packed_table())
-
     n = cp.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
     cp = jnp.where(is_valid, cp, 0)
-    pk = jnp.where(is_valid, packed_tab[cp], 0)  # one big-table gather
+    if pk is None:
+        packed_tab = jnp.asarray(unicode_packed_table())
+        pk = packed_tab[cp]          # one big-table gather
+    pk = jnp.where(is_valid, pk, 0)
     cls = pk & jnp.uint8(7)
     fold = (pk >> jnp.uint8(3)).astype(jnp.uint8)
 
@@ -256,6 +257,34 @@ def _char_boundaries(cp, is_valid):
     b_ws = b_ws_entry | b_ws_tail | b_ws_last
 
     return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
+
+
+# --------------------------------------------------------------------- #
+# ASCII fast path: bytes ARE chars
+# --------------------------------------------------------------------- #
+
+def ascii_packed_lookup(byts):
+    """cls|fold<<3 for ASCII bytes as a one-hot bf16 matmul on the MXU —
+    measured ~8x a gather for small tables (tools/bench_lookup_primitives:
+    mxu256); exact because table values < 256.  byts: uint8[...] < 0x80."""
+    import jax.numpy as jnp
+
+    tab = jnp.asarray(unicode_packed_table()[:128], dtype=jnp.bfloat16)
+    oh = (byts[..., None] == jnp.arange(128, dtype=jnp.uint8)
+          ).astype(jnp.bfloat16)
+    return (oh @ tab).astype(jnp.uint8)
+
+
+def byte_boundaries_ascii(byts, length, pk):
+    """Boundary flags for an all-ASCII row: every byte is a char, so the
+    char-compaction scatters, the lead-byte bookkeeping, and the big-table
+    gather of byte_boundaries all vanish.  ``pk`` is the packed class+fold
+    byte from ascii_packed_lookup (computed batch-wide by the caller)."""
+    import jax.numpy as jnp
+
+    L = byts.shape[0]
+    valid = jnp.arange(L, dtype=jnp.int32) < length
+    return _char_boundaries(byts.astype(jnp.int32), valid, pk=pk)
 
 
 # --------------------------------------------------------------------- #

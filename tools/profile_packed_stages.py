@@ -97,9 +97,9 @@ def main():
 
     cases = [("boundaries", run_boundaries)]
     stage_names = {1: "scans", 2: "+signatures", 3: "+probe+verify",
-                   4: "+matrix-scatter", 5: "+merge-rounds",
-                   6: "+lane-unscatter", None: "full"}
-    for st in [1, 2, 3, 4, 5, 6, None]:
+                   4: "+matrix-scatter", 5: "+merge+unscatter",
+                   None: "full"}
+    for st in [1, 2, 3, 4, 5, None]:
         cases.append((stage_names[st], make_stage(st)))
 
     prev = 0.0
