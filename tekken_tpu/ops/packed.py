@@ -3,10 +3,10 @@
 Design (measured on TPU v5e; tools/profile_packed_stages.py and
 tools/bench_lookup_primitives.py):
 - Whole-piece detection runs in flat byte space: two segmented poly-hash
-  scans give every byte its piece's 31-bit signature gather-free; a cuckoo
-  probe (2 row-gathers) + one byte-table gather verify exactly.  Pieces
-  that ARE vocab tokens — the vast majority of natural text — never touch
-  the merge machinery.
+  scans give every byte its piece's 31-bit signature gather-free; a
+  direct-mapped candidate probe (ONE row-gather) + one byte-table gather
+  verify exactly.  Pieces that ARE vocab tokens — the vast majority of
+  natural text — never touch the merge machinery.
 - Only vocab-miss pieces are scattered (one width-4 row scatter) into a
   small (NP, P) matrix; per-round argmin is a lane reduction and per-round
   cuckoo re-probes touch only NP rows.
@@ -59,6 +59,28 @@ def probe2(left, right, packed, seed1: int, seed2: int):
     out = jnp.where(hit1, r1[..., 2], jnp.where(hit2, r2[..., 2], INF))
     valid = (left >= 0) & (right >= 0)
     return jnp.where(valid, out, INF)
+
+
+def probe1(left, right, dm, seed: int):
+    """Direct-mapped candidate probe: ONE row-gather (vocab.direct_map).
+    Entries lost to build-time slot collisions just miss — callers
+    byte-verify every candidate and route misses to the merge path, so
+    exactness never rests on this table."""
+    import jax.numpy as jnp
+
+    size = dm.shape[0]
+    mask = jnp.uint32(size - 1)
+    l = left.astype(jnp.uint32)
+    r = right.astype(jnp.uint32)
+    h = (l * jnp.uint32(0x9E3779B1)) ^ (r * jnp.uint32(0x85EBCA77)) \
+        ^ jnp.uint32(seed)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> jnp.uint32(13))
+    row = dm[(h & mask).astype(jnp.int32)]
+    hit = (row[..., 0] == left) & (row[..., 1] == right) & (row[..., 2] >= 0)
+    valid = (left >= 0) & (right >= 0)
+    return jnp.where(valid & hit, row[..., 2], INF)
 
 
 def _inv_u32(k: int) -> int:
@@ -166,8 +188,11 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
         if _stage == 2:  # + piece signatures
             return sig31.sum()
 
-        cand = probe2(sig31, jnp.where(multi, plen, -1),
-                      piece_packed, pseed1, pseed2)
+        # piece_packed is the DIRECT-MAPPED candidate table (one row-gather;
+        # vocab.CuckooPieceTable.direct_map) — the exact byte verification
+        # below makes hash misses merely slower, never wrong
+        cand = probe1(sig31, jnp.where(multi, plen, -1),
+                      piece_packed, pseed1)
         found = jnp.where(cand == INF, -1, cand)
 
         # exact verification: candidate token byte at this offset
@@ -191,24 +216,19 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     # --- active pieces (vocab misses) get the merge matrix ---
     active = multi & ~hit_piece
     mp_mark = is_pstart & active
-    mp_id_at_start = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
-    mp_id = jax.lax.cummax(jnp.where(mp_mark, mp_id_at_start, -1))
+    # row ids are only ever read at piece-start positions (the row-word
+    # scatter below), so no cummax broadcast across the piece is needed
+    mp_id = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
     n_mp = jnp.sum(mp_mark.astype(jnp.int32))
 
     # fallback: oversize (len > P) or capacity overflow
     fb_piece = active & ((plen > P_LANES) | (mp_id >= NP))
-    ok = active & ~fb_piece
 
-    # --- build the merge matrix with width-1 scatters (interleaved
-    # multi-column row scatters measured 4x slower on TPU —
-    # tools/bench_scatter_strategies.py).  First-round pair ranks are NOT
-    # scattered: they are recomputed from the tier slice below (rows*P
-    # elements instead of N), which also drops the N-sized dense-table
-    # gather from this stage. ---
-    tgt = jnp.where(ok, mp_id * P_LANES + offset, NP * P_LANES)
-    ranks0 = jnp.full(NP * P_LANES, -1, jnp.int32).at[tgt].set(
-        byte_rank, mode="drop").reshape(NP, P_LANES)
-
+    # --- build the merge matrix.  Lane contents are NOT scattered: inside
+    # the tier branch below they are GATHERED from byte_rank at
+    # start+lane (rows*P elements instead of an N-source scatter), and
+    # first-round pair ranks come from the dense table on the same slice.
+    # The only N-source scatter left is the packed per-row word. ---
     # per-row start/length land at row granularity; a fallback piece owns
     # its row but contributes no lanes, marked by the fb bit
     row_write = mp_mark & active & (mp_id < NP)
@@ -237,8 +257,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
         fb_len = jnp.where(sl < 0, -sl, 0)
         start0 = jnp.where(sl > 0, start0, -1)
     if _stage == 4:  # + matrix scatter
-        return (ranks0.sum() + start0.sum() + nseg0.sum()
-                + fb_start.sum() + fb_len.sum())
+        return (start0.sum() + nseg0.sum() + fb_start.sum() + fb_len.sum())
 
     # --- merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py).
     # Tiered row count: every per-round gather/probe costs O(rows), and the
@@ -259,8 +278,13 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
 
     def merge_tier(rows):
         def run(args):
-            r0, n0, s0, tok = args
-            r0, n0, s0 = r0[:rows], n0[:rows], s0[:rows]
+            n0, s0, tok = args
+            n0, s0 = n0[:rows], s0[:rows]
+            lane_byte_pos = s0[:, None] + pos        # (rows, P)
+            lane_in = (pos < n0[:, None]) & (s0[:, None] >= 0)
+            # lane contents: gather piece bytes at start+lane (tier-sized)
+            r0 = jnp.where(lane_in, byte_rank[jnp.clip(
+                lane_byte_pos, 0, N - 1)], -1)
             # initial pair ranks: segments start as single bytes, so every
             # first-round query is a (byte, byte) pair — one gather from
             # the dense 64K table, on rows*P elements instead of N
@@ -271,7 +295,6 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
                 q_ok, dense_tab[jnp.where(q_ok, r0 * 256 + right, 0)], INF)
             r, n = merge_rows_compact(r0, pr0, n0, packed_table,
                                       seed1, seed2)
-            lane_byte_pos = s0[:, None] + pos        # (rows, P)
             lane_ok = (pos < n[:, None]) & (s0[:, None] >= 0)
             return tok.at[jnp.where(lane_ok, lane_byte_pos, N)].set(
                 jnp.where(lane_ok, r, -1), mode="drop")
@@ -282,7 +305,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     for rows in reversed(tiers[:-1]):
         branch = (lambda small, big, rows: lambda args: jax.lax.cond(
             n_mp <= rows, small, big, args))(merge_tier(rows), branch, rows)
-    tok_flat = branch((ranks0, nseg0, start0, tok_base))
+    tok_flat = branch((nseg0, start0, tok_base))
     if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
 
@@ -321,7 +344,7 @@ class PackedEncoder:
         self._seed2 = int(table.seed2)
         pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
-        self._piece_packed = jnp.asarray(pt.packed)
+        self._piece_packed = jnp.asarray(pt.direct_map())
         self._token_bytes = jnp.asarray(dt.padded_rows())
         self._piece_k = int(pt.k)
         self._pseed1 = int(pt.seed1)
