@@ -169,8 +169,8 @@ def main():
     # tunnel's block_until_ready does not reliably block)
     t2 = time.time()
     out = fn(jbuf, jlen, *tables)
-    n0 = int(out[2])
-    n_mp = int(out[5])
+    n0 = int(out[1])
+    n_mp = int(out[4])
     assert n_mp <= enc._np_cap, (
         f"bench batch overflows device capacity ({n_mp} > {enc._np_cap}); "
         f"the measured run would be incomplete")
@@ -182,7 +182,7 @@ def main():
     t3 = time.time()
     for _ in range(iters):
         out = fn(jbuf, jlen, *tables)
-    n0 = int(out[2])
+    n0 = int(out[1])
     dt = time.time() - t3
     bps = batch_bytes * iters / dt
 

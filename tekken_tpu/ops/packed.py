@@ -110,8 +110,9 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     a checksum scalar instead of outputs, so per-stage device cost can be
     measured on the live code (XLA dead-code-eliminates the rest).
 
-    Returns (out i32[N] left-aligned tokens, out_pos i32[N] flat byte pos,
-    n_out, fb_start i32[NP] byte offsets of fallback pieces (-1 = none),
+    Returns (tok i32[N] — tok[i] >= 0 is the token whose piece starts at
+    flat byte i, in byte order, uncompacted; n_out,
+    fb_start i32[NP] byte offsets of fallback pieces (-1 = none),
     fb_len i32[NP], n_mp).  Fallback pieces (longer than P lanes or beyond
     row capacity, and not vocab tokens) produce no tokens on device; the
     host splices oracle results at their positions.  n_mp > np_cap means
@@ -309,13 +310,12 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
 
-    has_tok = tok_flat >= 0
-    order = jnp.cumsum(has_tok.astype(jnp.int32)) - 1
-    sidx = jnp.where(has_tok, order, N)
-    out = jnp.full(N, -1, jnp.int32).at[sidx].set(tok_flat, mode="drop")
-    out_pos = jnp.full(N, -1, jnp.int32).at[sidx].set(idx, mode="drop")
-    n_out = jnp.sum(has_tok.astype(jnp.int32))
-    return out, out_pos, n_out, fb_start, fb_len, n_mp
+    # no device compaction: tok_flat[i] >= 0 IS the token at byte i (its
+    # index is its position).  The host's flatnonzero is a trivial linear
+    # pass, while the device scatters it replaces cost two N-source
+    # scatter passes — and the readback halves.
+    n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
+    return tok_flat, n_out, fb_start, fb_len, n_mp
 
 
 @functools.lru_cache(maxsize=8)
@@ -381,14 +381,15 @@ class PackedEncoder:
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
                               self._piece_k, self._pseed1, self._pseed2)
-        out, out_pos, n_out, fb_start, fb_len, n_mp = fn(
+        tok, n_out, fb_start, fb_len, n_mp = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._piece_packed, self._token_bytes)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]
-        out = np.asarray(out)[:int(n_out)]
-        out_pos = np.asarray(out_pos)[:int(n_out)]
+        tok = np.asarray(tok)
+        out_pos = np.flatnonzero(tok >= 0).astype(np.int32)
+        out = tok[out_pos]
 
         # host fallback for oversize/overflow pieces
         fb_start = np.asarray(fb_start)

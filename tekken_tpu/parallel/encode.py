@@ -45,7 +45,7 @@ class DistributedEncoder:
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
-        self._pslots = replicated(self.mesh, np.asarray(pt.packed))
+        self._pslots = replicated(self.mesh, pt.direct_map())
         self._twords = replicated(self.mesh, dt.padded_rows())
         self._ranks = tokenizer.ranks
 
@@ -63,19 +63,19 @@ class DistributedEncoder:
         pk, ps1, ps2 = self._piece_k, self._pseed1, self._pseed2
 
         def shard_fn(byts, lengths, packed, dense, pslots, twords):
-            out, out_pos, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
+            tok, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
                 byts, lengths, packed, dense, pslots, twords,
                 seed1, seed2, piece_k=pk, pseed1=ps1, pseed2=ps2,
                 np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
-            return (out, out_pos, n_out[None], fb_start, fb_len, n_mp[None],
+            return (tok, n_out[None], fb_start, fb_len, n_mp[None],
                     total_bytes, total_tokens)
 
         kwargs = dict(
             mesh=self.mesh,
             in_specs=(P("dp", None), P("dp"), P(), P(), P(), P()),
-            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                        P(), P()),
         )
         try:
@@ -87,9 +87,9 @@ class DistributedEncoder:
     def encode_step(self, buf: np.ndarray, lengths: np.ndarray):
         """One jitted distributed step over a packed (rows, row_len) buffer.
 
-        Returns (out, out_pos, n_out_per_shard, fb_start, fb_len,
-        n_mp_per_shard, total_bytes, total_tokens); out/out_pos are
-        dp-sharded flat arrays (one block per shard).
+        Returns (tok, n_out_per_shard, fb_start, fb_len, n_mp_per_shard,
+        total_bytes, total_tokens); tok is the dp-sharded uncompacted token
+        stream — tok[i] >= 0 is the token whose piece starts at flat byte i.
         """
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
@@ -113,14 +113,13 @@ class DistributedEncoder:
                 buf[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
             lengths[i] = len(d)
 
-        (out, out_pos, n_out, fb_start, fb_len, n_mp, total_bytes,
+        (tok, n_out, fb_start, fb_len, n_mp, total_bytes,
          total_tokens) = self.encode_step(buf, lengths)
 
         n_shards = self.mesh.devices.size
         rows_per_shard = self._B // n_shards
         shard_n = rows_per_shard * self._R
-        out = np.asarray(out)
-        out_pos = np.asarray(out_pos)
+        tok = np.asarray(tok)
         n_out = np.asarray(n_out)
         fb_start = np.asarray(fb_start)
         fb_len = np.asarray(fb_len)
@@ -141,8 +140,9 @@ class DistributedEncoder:
                     docs.append(encode_ranks(data.decode("utf-8"),
                                              self._ranks))
                 continue
-            block = out[s * shard_n:(s + 1) * shard_n][:n_out[s]]
-            pos = out_pos[s * shard_n:(s + 1) * shard_n][:n_out[s]]
+            stok = tok[s * shard_n:(s + 1) * shard_n]
+            pos = np.flatnonzero(stok >= 0).astype(np.int32)
+            block = stok[pos]
             # splice host-fallback pieces (oversize) at their positions
             fb_lo = s * (fb_start.shape[0] // n_shards)
             fb_hi = (s + 1) * (fb_start.shape[0] // n_shards)

@@ -106,4 +106,4 @@ def test_graft_entry():
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert int(out[2]) > 0
+    assert int(out[1]) > 0  # n_out

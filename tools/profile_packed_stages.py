@@ -88,8 +88,8 @@ def main():
                     piece_k=enc._piece_k, pseed1=enc._pseed1,
                     pseed2=enc._pseed2, np_cap=enc._np_cap, _stage=stage)
                 if stage is None:
-                    out, out_pos, n_out, fb_s, fb_l, n_mp = r
-                    r = (out.sum() + out_pos.sum() + n_out
+                    tok, n_out, fb_s, fb_l, n_mp = r
+                    r = (tok.sum() + n_out
                          + fb_s.sum() + fb_l.sum() + n_mp)
                 return acc + r
             return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
