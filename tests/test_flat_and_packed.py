@@ -107,3 +107,27 @@ def test_graft_entry():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert int(out[1]) > 0  # n_out
+
+
+def test_piece_direct_map_invariants(tok):
+    """Every direct-map (sig, len) match names the right token; entries
+    lost to build collisions merely miss (the kernel byte-verifies every
+    candidate, so a miss is a perf detail, never a wrong id)."""
+    from tekken_tpu.vocab import cuckoo_hash, poly_sig31
+
+    pt = tok.piece_table()
+    dm = pt.direct_map()
+    size = dm.shape[0]
+    hits = total = 0
+    for b, r in tok.ranks.items():
+        if len(b) < 2:
+            continue
+        total += 1
+        sig = poly_sig31(b, pt.k)
+        s = int(cuckoo_hash(sig, len(b), pt.seed1, size))
+        row = dm[s]
+        if row[0] == sig and row[1] == len(b) and row[2] >= 0:
+            assert int(row[2]) == r, b
+            hits += 1
+    # the synthetic vocab is far below table capacity: losses are rare
+    assert hits >= 0.9 * total
