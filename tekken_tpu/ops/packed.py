@@ -64,8 +64,9 @@ def probe2(left, right, packed, seed1: int, seed2: int):
 def probe1(left, right, dm, seed: int):
     """Direct-mapped candidate probe: ONE row-gather (vocab.direct_map).
     Entries lost to build-time slot collisions just miss — callers
-    byte-verify every candidate and route misses to the merge path, so
-    exactness never rests on this table."""
+    byte-verify every candidate and route misses to the merge path.  The
+    build guarantees only greedy-STABLE tokens can be lost (the merge path
+    reproduces those exactly), so exactness never rests on this table."""
     import jax.numpy as jnp
 
     size = dm.shape[0]
@@ -344,10 +345,11 @@ class PackedEncoder:
         self._seed2 = int(table.seed2)
         pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
-        self._piece_packed = jnp.asarray(pt.direct_map())
+        dm, dm_seed = pt.direct_map(tokenizer.ranks)
+        self._piece_packed = jnp.asarray(dm)
         self._token_bytes = jnp.asarray(dt.padded_rows())
         self._piece_k = int(pt.k)
-        self._pseed1 = int(pt.seed1)
+        self._pseed1 = int(dm_seed)
         self._pseed2 = int(pt.seed2)
         self._B = rows
         self._R = row_len

@@ -56,6 +56,18 @@ def byte_pair_merge(piece: bytes, ranks: dict[bytes, int]) -> list[int]:
     whole = ranks.get(piece)
     if whole is not None:
         return [whole]
+    return byte_pair_merge_no_whole(piece, ranks)
+
+
+def byte_pair_merge_no_whole(piece: bytes, ranks: dict[bytes, int]) -> list[int]:
+    """The greedy merge loop WITHOUT the whole-piece shortcut.
+
+    Used (a) by ``byte_pair_merge`` after its whole-piece check and (b) by
+    vocab.CuckooPieceTable.direct_map to decide whether a token is
+    *greedy-stable* — whether merging its own bytes reproduces it.  A token
+    that is NOT greedy-stable relies on the whole-piece probe for exactness
+    and must never be evicted from the direct-mapped candidate table.
+    """
     n = len(piece)
     if n == 0:
         return []

@@ -39,13 +39,14 @@ class DistributedEncoder:
         self._seed2 = int(table.seed2)
         pt = tokenizer.piece_table()
         dt = tokenizer.decode_table
+        dm, dm_seed = pt.direct_map(tokenizer.ranks)
         self._piece_k = int(pt.k)
-        self._pseed1 = int(pt.seed1)
+        self._pseed1 = int(dm_seed)
         self._pseed2 = int(pt.seed2)
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
-        self._pslots = replicated(self.mesh, pt.direct_map())
+        self._pslots = replicated(self.mesh, dm)
         self._twords = replicated(self.mesh, dt.padded_rows())
         self._ranks = tokenizer.ranks
 

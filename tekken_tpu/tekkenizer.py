@@ -135,6 +135,8 @@ class Tekkenizer:
         self._cuckoo_table = None
         self._jax_encoder = None
         self._native_encoder = None
+        self._last_engine: Optional[str] = None
+        self._engine_warned: set[str] = set()
 
     # ------------------------------------------------------------------ #
     # construction
@@ -237,7 +239,9 @@ class Tekkenizer:
         built, falling back to the scalar oracle."""
         native = self._get_native_encoder()
         if native is not None:
+            self._last_engine = "native-host"
             return native.encode(text)
+        self._last_engine = "host-oracle"
         return encode_ranks(text, self._ranks)
 
     def encode_batch(
@@ -254,8 +258,10 @@ class Tekkenizer:
         """
         enc = self._get_packed_encoder(texts)
         if enc is not None:
+            self._last_engine = "packed-device"
             rank_lists = enc.encode_batch(texts)
         else:
+            self._last_engine = "host-oracle"
             rank_lists = [encode_ranks(t, self._ranks) for t in texts]
         shift = self._num_special_tokens
         out = []
@@ -474,12 +480,45 @@ class Tekkenizer:
             self._piece_table = CuckooPieceTable.build(self._ranks)
         return self._piece_table
 
+    @property
+    def engine_used(self) -> Optional[str]:
+        """Which engine served the most recent encode call: one of
+        "packed-device", "native-host", "host-oracle" (None before any
+        call).  Introspection hook so silent engine degradation is
+        observable (a fallback also emits a RuntimeWarning once, and
+        ``TEKKEN_TPU_REQUIRE_DEVICE=1`` turns device-path failures into
+        hard errors)."""
+        return self._last_engine
+
+    def _engine_failed(self, engine: str, exc: BaseException,
+                       device_path: bool) -> None:
+        """A lazily-built engine failed to construct.  Never silent: warn
+        once with the traceback; under TEKKEN_TPU_REQUIRE_DEVICE=1 a
+        device-path failure is a hard error instead of a fallback."""
+        import traceback
+        import warnings
+
+        if device_path and os.environ.get("TEKKEN_TPU_REQUIRE_DEVICE"):
+            raise TokenizersError(
+                f"{engine} engine failed to initialize and "
+                f"TEKKEN_TPU_REQUIRE_DEVICE is set") from exc
+        if engine not in self._engine_warned:
+            self._engine_warned.add(engine)
+            tb = "".join(traceback.format_exception(
+                type(exc), exc, exc.__traceback__))
+            warnings.warn(
+                f"tekken_tpu: {engine} engine unavailable — falling back "
+                f"to a slower path (set TEKKEN_TPU_REQUIRE_DEVICE=1 to "
+                f"hard-fail instead).\n{tb}",
+                RuntimeWarning, stacklevel=3)
+
     def _get_jax_encoder(self):
         if self._jax_encoder is None:
             try:
                 from .ops.encode import JaxEncoder
                 self._jax_encoder = JaxEncoder(self)
-            except Exception:
+            except Exception as e:
+                self._engine_failed("jax-bucketed", e, device_path=True)
                 self._jax_encoder = False
         return self._jax_encoder or None
 
@@ -489,6 +528,10 @@ class Tekkenizer:
         if not hasattr(self, "_packed_encoders"):
             self._packed_encoders = {}
         if self._packed_encoders is None:
+            if os.environ.get("TEKKEN_TPU_REQUIRE_DEVICE"):
+                raise TokenizersError(
+                    "packed-device engine is disabled after an earlier "
+                    "failure and TEKKEN_TPU_REQUIRE_DEVICE is set")
             return None
 
         def pow2(n, lo):
@@ -508,8 +551,9 @@ class Tekkenizer:
             try:
                 from .ops.packed import PackedEncoder
                 enc = PackedEncoder(self, rows=rows, row_len=row_len)
-            except Exception:
+            except Exception as e:
                 self._packed_encoders = None
+                self._engine_failed("packed-device", e, device_path=True)
                 return None
             self._packed_encoders[key] = enc
         return enc
@@ -522,6 +566,7 @@ class Tekkenizer:
                 try:
                     from .native import NativeEncoder
                     self._native_encoder = NativeEncoder(self)
-                except Exception:
+                except Exception as e:
+                    self._engine_failed("native-host", e, device_path=False)
                     self._native_encoder = False
         return self._native_encoder or None

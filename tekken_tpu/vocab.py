@@ -456,29 +456,93 @@ class CuckooPieceTable:
                 return r if decode_table.token_bytes(r) == piece else -1
         return -1
 
-    def direct_map(self, slots_per_entry: int = 16,
-                   max_log2: int = 21) -> np.ndarray:
+    def direct_map(self, ranks: dict[bytes, int], slots_per_entry: int = 16,
+                   max_log2: int = 22, _min_log2: int = 14
+                   ) -> tuple[np.ndarray, int]:
         """Single-probe candidate table: (size, 4) int32 rows
-        [sig31, len, rank, 0], slot = cuckoo_hash(sig, len, seed1).
+        [sig31, len, rank, 0], slot = cuckoo_hash(sig, len, seed).
+        Returns (table, seed) — pass the seed to the kernel's probe1.
 
         Halves the device probe cost of the whole-piece fast path (ONE row
-        gather instead of cuckoo's two).  Build-time slot collisions keep
-        the SHORTER token (a frequency heuristic); the few lost entries
-        simply take the merge path — callers byte-verify every candidate,
-        so exactness never rests on this table.  At 16 slots/entry the
+        gather instead of cuckoo's two).  On a build-time slot collision the
+        SHORTER token wins (a frequency heuristic) — UNLESS a collider is
+        *greedy-unstable* (its own greedy merge does not reproduce it, e.g.
+        a token with no in-vocab two-token split): such a token depends on
+        the whole-piece probe for exactness, so it always wins its slot.
+        Losing a greedy-STABLE entry is harmless — callers byte-verify
+        every candidate and route misses to the merge path, which
+        reproduces a stable token exactly.  If two unstable tokens collide,
+        the table is regrown/reseeded until every unstable token holds a
+        slot; a build that cannot satisfy this raises (loud constructor
+        failure, never silent wrong output).  At 16 slots/entry the stable
         loss is ~3% of entries and ~0.3% of whole-piece hits on natural
         text (measured on the bench corpus)."""
+        from .oracle import byte_pair_merge_no_whole
+
         live = self.packed[self.packed[:, 2] >= 0]
-        size = max(1 << 14, min(1 << max_log2,
-                                _next_pow2(slots_per_entry * len(live))))
-        # longest first, so on collision the LAST (shortest) write wins
-        rows = live[np.argsort(-live[:, 1].astype(np.int64), kind="stable")]
-        s = cuckoo_hash(rows[:, 0].astype(np.int64),
-                        rows[:, 1].astype(np.int64), self.seed1, size)
-        dm = np.zeros((size, 4), dtype=np.int32)
-        dm[:, 2] = -1
-        dm[s] = rows
-        return dm
+        base = max(1 << _min_log2, min(1 << max_log2,
+                                       _next_pow2(slots_per_entry *
+                                                  max(1, len(live)))))
+
+        by_rank: dict[int, bytes] = {r: b for b, r in ranks.items()}
+        stab_cache: dict[int, bool] = {}
+
+        def stable(rank: int) -> bool:
+            got = stab_cache.get(rank)
+            if got is None:
+                b = by_rank[rank]
+                got = (len(b) < 2
+                       or byte_pair_merge_no_whole(b, ranks) == [rank])
+                stab_cache[rank] = got
+            return got
+
+        # shortest-first, ties by rank: the FIRST row of a slot group is the
+        # default winner
+        order = np.lexsort((live[:, 2].astype(np.int64),
+                            live[:, 1].astype(np.int64)))
+        rows = live[order]
+        sigs = rows[:, 0].astype(np.int64)
+        lens = rows[:, 1].astype(np.int64)
+
+        seeds = [self.seed1] + [
+            (self.seed1 + i * 0x632BE59B) & 0x7FFFFFFF or 1
+            for i in range(1, 8)]
+        for seed in seeds:
+            size = base
+            while size <= (1 << max_log2):
+                slots = cuckoo_hash(sigs, lens, seed, size)
+                dm = np.zeros((size, 4), dtype=np.int32)
+                dm[:, 2] = -1
+                # longest-first scatter: duplicate-index writes keep the
+                # LAST one, i.e. the shortest (lowest-rank on ties) row
+                dm[slots[::-1]] = rows[::-1]
+                # collision groups only (a few thousand at 16x slots):
+                # an unstable collider must override the heuristic winner
+                grp = np.argsort(slots, kind="stable")
+                gs = slots[grp]
+                dup = np.flatnonzero(gs[1:] == gs[:-1])
+                ok = True
+                gi = 0
+                while gi < len(dup):
+                    lo = dup[gi]
+                    hi = lo + 1
+                    while hi < len(gs) - 1 and gs[hi + 1] == gs[lo]:
+                        hi += 1
+                    members = grp[lo:hi + 1]
+                    unstable = [m for m in members
+                                if not stable(int(rows[m, 2]))]
+                    if len(unstable) > 1:
+                        ok = False
+                        break
+                    if unstable:
+                        dm[gs[lo]] = rows[unstable[0]]
+                    while gi < len(dup) and dup[gi] < hi:
+                        gi += 1
+                if ok:
+                    return dm, seed
+                size <<= 1
+        raise InvalidConfigError(
+            "direct_map: could not give every greedy-unstable token a slot")
 
 
 @dataclass
