@@ -159,9 +159,8 @@ def main():
     import jax
     buf, lengths = enc.pack(docs)
     fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
-                          enc._piece_k, enc._pseed1, enc._pseed2)
-    tables = (enc._packed, enc._dense, enc._piece_packed,
-              enc._token_bytes)
+                          enc._wseed)
+    tables = (enc._packed, enc._dense, enc._word_rows)
     jbuf = jax.numpy.asarray(buf)
     jlen = jax.numpy.asarray(lengths)
 

@@ -92,16 +92,18 @@ def _inv_u32(k: int) -> int:
     return inv
 
 
-def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
-                       token_byte_rows, seed1: int, seed2: int,
-                       piece_k: int = 0, pseed1: int = 0, pseed2: int = 0,
+def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
+                       seed1: int, seed2: int, wseed: int = 0,
                        np_cap: int | None = None, _stage: int | None = None):
     """Encode a (B, R) document-row buffer — flat-first architecture.
 
-    Whole-piece detection runs in FLAT byte space (two segmented poly-hash
-    scans give every position its piece's signature gather-free; one cuckoo
-    probe + one byte-table gather verify exactly), so only pieces that MISS
-    the vocabulary — a few percent of natural text — are scattered into the
+    Whole-piece detection is WORD-EXACT and runs in flat byte space: every
+    position assembles its piece's first 12 (or 24, wide mode) bytes into
+    masked little-endian dwords from static-slice shifts — no scans, no
+    per-byte verify gather — and probes the WordDirectMap with ONE row
+    gather; a full word+length compare against the row is exact on its own
+    (the row stores the complete content).  Only pieces that MISS the
+    vocabulary — a few percent of natural text — are scattered into the
     (NP, P) merge matrix.  That shrinks the matrix, its scatters, the merge
     rounds, and the un-scatter by an order of magnitude versus packing
     every multi-byte piece (measured: the matrix machinery dominated the
@@ -148,7 +150,6 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     # "broadcast from segment start" of an increasing sequence is a native
     # cummax, not a generic associative scan (6x cheaper on TPU)
     pstart = jax.lax.cummax(jnp.where(boundary, idx, -1))
-    offset = idx - pstart
 
     # piece length at each byte: position of the piece's last byte (the
     # first is_last >= i, a reverse native cummin) minus the start
@@ -164,67 +165,73 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     if _stage == 1:  # scans
         return plen.sum() + pstart.sum()
 
-    # --- whole-piece fast path, flat space (reference engine semantics: a
+    # --- whole-piece fast path, word-exact (reference engine semantics: a
     # piece whose bytes are a vocab token encodes as that token before any
-    # merging).  sig[i] = poly hash of the WHOLE piece containing i,
-    # assembled from a forward prefix-hash scan and a reverse suffix-hash
-    # scan: sig = h_prefix(i) * k^(end-i) + g_suffix(i+1) — no gathers. ---
-    hit_piece = jnp.zeros(N, dtype=bool)
+    # merging).  At each piece START the piece's first 12/24 bytes are
+    # assembled into length-masked little-endian dwords via static-slice
+    # shifts; the WordDirectMap row gathered at their hash holds the
+    # candidate's FULL content words + length, so the compare alone is
+    # exact — no signature scans, no byte-verify gather, no piece-AND
+    # reduction (all three dominated the round-1 kernel). ---
+    hit_start = jnp.zeros(N, dtype=bool)
     found = jnp.full(N, -1, jnp.int32)
-    if piece_k:
-        from .flat import _seg_polyhash, _seg_polyhash_suffix
+    if wseed:
+        Wc = word_rows.shape[1]            # 4 narrow / 8 wide (static)
+        n_words = 3 if Wc == 4 else 6
+        maxl = 12 if Wc == 4 else 24
 
-        byte_u = jnp.where(valid, byts.reshape(N), 0)
-        h = _seg_polyhash(byte_u, boundary, piece_k)          # prefix hash
-        # suffix hash anchored at the piece end
-        # (g[i] = sum_{j>=i in piece} b_j * k^(end-j)) and its power
-        # p_rev[i] = k^(end-i+1): the prefix term's multiplier k^(end-i)
-        # is exactly p_rev at i+1
-        gp, p_rev = _seg_polyhash_suffix(byte_u, is_last, piece_k)
-        g_next = jnp.concatenate([gp[1:], jnp.zeros(1, jnp.uint32)])
-        p_next = jnp.concatenate([p_rev[1:], jnp.ones(1, jnp.uint32)])
-        sfx = jnp.where(is_last, jnp.uint32(0), g_next)
-        pw = jnp.where(is_last, jnp.uint32(1), p_next)
-        sig = h * pw + sfx
-        sig31 = (sig & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        if _stage == 2:  # + piece signatures
-            return sig31.sum()
+        bu = jnp.where(valid, byts.reshape(N), 0).astype(jnp.uint32)
 
-        # piece_packed is the DIRECT-MAPPED candidate table (one row-gather;
-        # vocab.CuckooPieceTable.direct_map) — the exact byte verification
-        # below makes hash misses merely slower, never wrong
-        cand = probe1(sig31, jnp.where(multi, plen, -1),
-                      piece_packed, pseed1)
-        found = jnp.where(cand == INF, -1, cand)
+        def sh(arr, k):
+            # value at idx+k as a static slice (not a gather)
+            return jnp.concatenate(
+                [arr[k:], jnp.zeros(k, arr.dtype)]) if k else arr
 
-        # exact verification: candidate token byte at this offset
-        V, Lcap = token_byte_rows.shape
-        tb_flat = token_byte_rows.reshape(V * Lcap)
-        vidx = jnp.clip(jnp.maximum(found, 0) * Lcap + offset,
-                        0, V * Lcap - 1)
-        ok_pos = (found >= 0) & (tb_flat[vidx] == byte_u) & valid
-        # piece-AND of ok_pos: a piece verifies iff the first bad position
-        # at/after its start lies beyond its last byte — one native reverse
-        # cummin (6x an associative scan on TPU) read at pstart, broadcast
-        # forward with a packed cummax
-        first_bad = jax.lax.cummin(jnp.where(~ok_pos, idx, BIGN)[::-1])[::-1]
-        ok_sfx = first_bad > last_pos
-        pc = jax.lax.cummax(jnp.where(
-            boundary, idx * 2 + ok_sfx.astype(jnp.int32), -1))
-        hit_piece = multi & (found >= 0) & ((pc & 1) == 1)
-    if _stage == 3:  # + probe + verify
-        return hit_piece.astype(jnp.int32).sum() + found.sum()
+        w = (bu | (sh(bu, 1) << jnp.uint32(8))
+             | (sh(bu, 2) << jnp.uint32(16))
+             | (sh(bu, 3) << jnp.uint32(24)))
+
+        def msk(m):
+            # uint32 mask of min(max(m,0),4) low bytes
+            m4 = jnp.clip(m, 0, 4)
+            shv = (jnp.minimum(m4, 3) * 8).astype(jnp.uint32)
+            return jnp.where(m4 >= 4, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << shv) - jnp.uint32(1))
+
+        ws = [ (w if k == 0 else sh(w, 4 * k)) & msk(plen - 4 * k)
+               for k in range(n_words)]
+        if _stage == 2:  # + content words
+            return sum(x.astype(jnp.int32) for x in ws).sum()
+
+        h = ((ws[0] * jnp.uint32(0x9E3779B1))
+             ^ (ws[1] * jnp.uint32(0x85EBCA77))
+             ^ (ws[2] * jnp.uint32(0xC2B2AE3D))
+             ^ (plen.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+             ^ jnp.uint32(wseed))
+        h = h ^ (h >> jnp.uint32(15))
+        h = h * jnp.uint32(0xC2B2AE3D)
+        h = h ^ (h >> jnp.uint32(13))
+        slot = (h & jnp.uint32(word_rows.shape[0] - 1)).astype(jnp.int32)
+
+        row = word_rows[slot]              # the ONE whole-piece row gather
+        meta = row[..., n_words]
+        ok = (meta >= 0) & ((meta & 31) == plen)
+        for k in range(n_words):
+            ok = ok & (row[..., k].astype(jnp.uint32) == ws[k])
+        hit_start = ok & multi & (plen <= maxl) & boundary
+        found = jnp.where(hit_start, meta >> 5, -1)
+    if _stage == 3:  # + probe (word-exact, no separate verify)
+        return hit_start.astype(jnp.int32).sum() + found.sum()
 
     # --- active pieces (vocab misses) get the merge matrix ---
-    active = multi & ~hit_piece
-    mp_mark = is_pstart & active
+    mp_mark = is_pstart & multi & ~hit_start
     # row ids are only ever read at piece-start positions (the row-word
     # scatter below), so no cummax broadcast across the piece is needed
     mp_id = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
     n_mp = jnp.sum(mp_mark.astype(jnp.int32))
 
     # fallback: oversize (len > P) or capacity overflow
-    fb_piece = active & ((plen > P_LANES) | (mp_id >= NP))
+    fb_piece = mp_mark & ((plen > P_LANES) | (mp_id >= NP))
 
     # --- build the merge matrix.  Lane contents are NOT scattered: inside
     # the tier branch below they are GATHERED from byte_rank at
@@ -233,7 +240,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     # The only N-source scatter left is the packed per-row word. ---
     # per-row start/length land at row granularity; a fallback piece owns
     # its row but contributes no lanes, marked by the fb bit
-    row_write = mp_mark & active & (mp_id < NP)
+    row_write = mp_mark & (mp_id < NP)
     tgt_row = jnp.where(row_write, mp_id, NP)
     if N <= (1 << 18) and R <= (1 << 13):
         # (pstart, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
@@ -276,7 +283,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
     # singles and whole-piece hits emit elementwise; merged lanes scatter in
     single = is_pstart & (plen == 1)
     tok_base = jnp.where(single, byte_rank,
-                         jnp.where(is_pstart & hit_piece, found, -1))
+                         jnp.where(hit_start, found, -1))
 
     def merge_tier(rows):
         def run(args):
@@ -320,14 +327,12 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, piece_packed,
 
 
 @functools.lru_cache(maxsize=8)
-def packed_encode_fn(seed1: int, seed2: int, np_cap, piece_k: int = 0,
-                     pseed1: int = 0, pseed2: int = 0):
+def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0):
     import functools as ft
     import jax
 
     return jax.jit(ft.partial(packed_encode_impl, seed1=seed1, seed2=seed2,
-                              piece_k=piece_k, pseed1=pseed1, pseed2=pseed2,
-                              np_cap=np_cap))
+                              wseed=wseed, np_cap=np_cap))
 
 
 class PackedEncoder:
@@ -343,14 +348,9 @@ class PackedEncoder:
         self._dense = jnp.asarray(table.byte_pair_dense())
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
-        pt = tokenizer.piece_table()
-        dt = tokenizer.decode_table
-        dm, dm_seed = pt.direct_map(tokenizer.ranks)
-        self._piece_packed = jnp.asarray(dm)
-        self._token_bytes = jnp.asarray(dt.padded_rows())
-        self._piece_k = int(pt.k)
-        self._pseed1 = int(dm_seed)
-        self._pseed2 = int(pt.seed2)
+        wm = tokenizer.word_map()
+        self._word_rows = jnp.asarray(wm.rows)
+        self._wseed = int(wm.seed)
         self._B = rows
         self._R = row_len
         # capacity is for ACTIVE pieces (multi-byte vocab misses) only;
@@ -382,10 +382,10 @@ class PackedEncoder:
 
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._piece_k, self._pseed1, self._pseed2)
+                              self._wseed)
         tok, n_out, fb_start, fb_len, n_mp = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
-            self._dense, self._piece_packed, self._token_bytes)
+            self._dense, self._word_rows)
         if int(n_mp) > self._np_cap:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]

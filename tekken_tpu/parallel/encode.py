@@ -37,17 +37,12 @@ class DistributedEncoder:
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)
         self._seed2 = int(table.seed2)
-        pt = tokenizer.piece_table()
-        dt = tokenizer.decode_table
-        dm, dm_seed = pt.direct_map(tokenizer.ranks)
-        self._piece_k = int(pt.k)
-        self._pseed1 = int(dm_seed)
-        self._pseed2 = int(pt.seed2)
+        wm = tokenizer.word_map()
+        self._wseed = int(wm.seed)
         # broadcast once: replicated in HBM on every device
         self._packed = replicated(self.mesh, np.asarray(table.packed))
         self._dense = replicated(self.mesh, table.byte_pair_dense())
-        self._pslots = replicated(self.mesh, dm)
-        self._twords = replicated(self.mesh, dt.padded_rows())
+        self._wrows = replicated(self.mesh, wm.rows)
         self._ranks = tokenizer.ranks
 
         self._step = self._build_step()
@@ -61,13 +56,12 @@ class DistributedEncoder:
         from jax.sharding import PartitionSpec as P
 
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
-        pk, ps1, ps2 = self._piece_k, self._pseed1, self._pseed2
+        ws = self._wseed
 
-        def shard_fn(byts, lengths, packed, dense, pslots, twords):
+        def shard_fn(byts, lengths, packed, dense, wrows):
             tok, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
-                byts, lengths, packed, dense, pslots, twords,
-                seed1, seed2, piece_k=pk, pseed1=ps1, pseed2=ps2,
-                np_cap=cap)
+                byts, lengths, packed, dense, wrows,
+                seed1, seed2, wseed=ws, np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
             return (tok, n_out[None], fb_start, fb_len, n_mp[None],
@@ -75,7 +69,7 @@ class DistributedEncoder:
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(P("dp", None), P("dp"), P(), P(), P(), P()),
+            in_specs=(P("dp", None), P("dp"), P(), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                        P(), P()),
         )
@@ -95,7 +89,7 @@ class DistributedEncoder:
         byts = dp_sharded(self.mesh, buf)
         lens = dp_sharded(self.mesh, lengths)
         return self._step(byts, lens, self._packed, self._dense,
-                          self._pslots, self._twords)
+                          self._wrows)
 
     def encode_batch(self, texts):
         """Convenience: texts -> per-doc rank lists + psum'd counters."""

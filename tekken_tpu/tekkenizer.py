@@ -473,12 +473,28 @@ class Tekkenizer:
 
     def piece_table(self):
         """Whole-piece (poly-signature, length) -> rank cuckoo table: two
-        row-gathers per lookup; shared by the packed and flat device
-        kernels' whole-piece fast path."""
+        row-gathers per lookup; used by the flat device kernel's
+        whole-piece fast path."""
         if getattr(self, "_piece_table", None) is None:
             from .vocab import CuckooPieceTable
             self._piece_table = CuckooPieceTable.build(self._ranks)
         return self._piece_table
+
+    def word_map(self):
+        """Word-exact single-probe whole-piece table (vocab.WordDirectMap):
+        the packed kernel's fast path.  Built narrow (<=12-byte tokens)
+        unless the vocab has a greedy-unstable token longer than that, in
+        which case the wide (<=24-byte) variant is built; an unstable token
+        beyond 24 bytes raises and the caller falls back to an exact
+        slower engine."""
+        if getattr(self, "_word_map", None) is None:
+            from .errors import InvalidConfigError
+            from .vocab import WordDirectMap
+            try:
+                self._word_map = WordDirectMap.build(self._ranks)
+            except InvalidConfigError:
+                self._word_map = WordDirectMap.build(self._ranks, wide=True)
+        return self._word_map
 
     @property
     def engine_used(self) -> Optional[str]:

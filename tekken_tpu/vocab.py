@@ -545,6 +545,163 @@ class CuckooPieceTable:
             "direct_map: could not give every greedy-unstable token a slot")
 
 
+def _le_words(data: bytes, n_words: int) -> list[int]:
+    """Little-endian uint32 words of ``data`` zero-padded to 4*n_words."""
+    buf = data + b"\x00" * (4 * n_words - len(data))
+    return [int.from_bytes(buf[4 * k:4 * k + 4], "little")
+            for k in range(n_words)]
+
+
+def word_hash(w0, w1, w2, length, seed: int, table_size: int):
+    """Slot hash of a piece's first 12 content bytes + length — uint32
+    arithmetic, mirrored exactly by the device kernel (ops/packed.py)."""
+    a = np.asarray(w0).astype(np.uint32)
+    b = np.asarray(w1).astype(np.uint32)
+    c = np.asarray(w2).astype(np.uint32)
+    ln = np.asarray(length).astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = ((a * _HC1) ^ (b * _HC2) ^ (c * _HC3)
+             ^ (ln * np.uint32(0x27D4EB2F)) ^ np.uint32(seed))
+        h ^= h >> np.uint32(15)
+        h *= _HC3
+        h ^= h >> np.uint32(13)
+    return (h & np.uint32(table_size - 1)).astype(np.int64)
+
+
+@dataclass
+class WordDirectMap:
+    """Word-exact single-probe whole-piece table: the packed kernel's fast
+    path (reference engine semantics: a piece whose bytes ARE a vocab token
+    encodes as that token before any merging — src/tekkenizer.rs:125).
+
+    Rows are int32 (size, 4) ``[w0, w1, w2, meta]`` (or (size, 8)
+    ``[w0..w5, meta, 0]`` in wide mode), where w_k is the token's k-th
+    little-endian content dword zero-padded, and ``meta = rank*32 + len``
+    (-1 marks empty).  Because the full content (up to ``max_len`` = 12
+    narrow / 24 wide bytes) plus the length is stored IN the row, a probe
+    is ONE row gather + word compares — EXACT with no separate byte-verify
+    gather and no signature scans (the round-1 design needed both).
+
+    Only tokens with 2 <= len <= max_len are stored; longer pieces take the
+    merge path (or the host fallback past 32 bytes).  That is exact for
+    greedy-STABLE tokens (their merge reproduces them); greedy-UNSTABLE
+    tokens (see CuckooPieceTable.direct_map) must be probe-reachable, so:
+    on slot collisions an unstable token always wins (regrow/reseed on
+    unstable-unstable conflicts), and a vocab with an unstable token longer
+    than ``max_len`` makes ``build`` raise — callers fall back to an exact
+    slower engine, never to silent wrong output.
+    """
+
+    rows: np.ndarray
+    size: int
+    seed: int
+    max_len: int
+    n_words: int
+
+    @classmethod
+    def build(cls, ranks: dict[bytes, int], wide: bool = False,
+              slots_per_entry: int = 16, max_log2: int = 22,
+              _min_log2: int = 14) -> "WordDirectMap":
+        from .oracle import byte_pair_merge_no_whole
+
+        max_len = 24 if wide else 12
+        n_words = 6 if wide else 3
+        width = 8 if wide else 4
+
+        stab_cache: dict[int, bool] = {}
+
+        def stable(b: bytes, rank: int) -> bool:
+            got = stab_cache.get(rank)
+            if got is None:
+                got = byte_pair_merge_no_whole(b, ranks) == [rank]
+                stab_cache[rank] = got
+            return got
+
+        entries = []  # (w0..w{n-1}, meta) per token, shortest-first
+        for b, r in sorted(ranks.items(), key=lambda kv: (len(kv[0]),
+                                                          kv[1])):
+            if len(b) < 2:
+                continue
+            if len(b) > max_len:
+                if not stable(b, r):
+                    raise InvalidConfigError(
+                        f"vocab has a greedy-unstable token of "
+                        f"{len(b)} bytes (> {max_len}); word probe "
+                        f"cannot guarantee exactness")
+                continue
+            entries.append((b, r, _le_words(b, n_words)))
+
+        arr = np.zeros((len(entries), width), dtype=np.int32)
+        for i, (b, r, ws) in enumerate(entries):
+            for k, w in enumerate(ws):
+                arr[i, k] = np.uint32(w).view(np.int32) if w < (1 << 31) \
+                    else np.int32(w - (1 << 32))
+            arr[i, n_words] = r * 32 + len(b)
+        lens = np.asarray([len(b) for b, _, _ in entries], dtype=np.int64)
+        w0 = arr[:, 0].astype(np.int64) & 0xFFFFFFFF
+        w1 = arr[:, 1].astype(np.int64) & 0xFFFFFFFF
+        w2 = arr[:, 2].astype(np.int64) & 0xFFFFFFFF
+
+        base = max(1 << _min_log2, min(1 << max_log2,
+                                       _next_pow2(slots_per_entry *
+                                                  max(1, len(entries)))))
+        seeds = [0x9E3779B9] + [
+            (0x9E3779B9 + i * 0x632BE59B) & 0x7FFFFFFF or 1
+            for i in range(1, 8)]
+        for seed in seeds:
+            size = base
+            while size <= (1 << max_log2):
+                slots = word_hash(w0, w1, w2, lens, seed, size)
+                rows = np.zeros((size, width), dtype=np.int32)
+                rows[:, n_words] = -1
+                # reversed scatter: final occupant is the FIRST (shortest,
+                # lowest-rank) collider — the frequency heuristic winner
+                rows[slots[::-1]] = arr[::-1]
+                grp = np.argsort(slots, kind="stable")
+                gs = slots[grp]
+                dup = np.flatnonzero(gs[1:] == gs[:-1])
+                ok = True
+                gi = 0
+                while gi < len(dup):
+                    lo = dup[gi]
+                    hi = lo + 1
+                    while hi < len(gs) - 1 and gs[hi + 1] == gs[lo]:
+                        hi += 1
+                    members = grp[lo:hi + 1]
+                    unstable = [m for m in members
+                                if not stable(entries[m][0], entries[m][1])]
+                    if len(unstable) > 1:
+                        ok = False
+                        break
+                    if unstable:
+                        rows[gs[lo]] = arr[unstable[0]]
+                    while gi < len(dup) and dup[gi] < hi:
+                        gi += 1
+                if ok:
+                    return cls(rows=rows, size=size, seed=seed,
+                               max_len=max_len, n_words=n_words)
+                size <<= 1
+        raise InvalidConfigError(
+            "word_direct_map: could not give every greedy-unstable token "
+            "a slot")
+
+    def lookup_host(self, piece: bytes) -> int:
+        """Scalar probe for tests: returns rank or -1."""
+        if not 2 <= len(piece) <= self.max_len:
+            return -1
+        ws = _le_words(piece, self.n_words)
+        s = int(word_hash(ws[0], ws[1], ws[2], len(piece), self.seed,
+                          self.size))
+        row = self.rows[s]
+        meta = int(row[self.n_words])
+        if meta < 0 or (meta & 31) != len(piece):
+            return -1
+        for k in range(self.n_words):
+            if (int(row[k]) & 0xFFFFFFFF) != ws[k]:
+                return -1
+        return meta >> 5
+
+
 @dataclass
 class DecodeTable:
     """Flat byte-span arrays for rank -> bytes decode gathers.

@@ -154,10 +154,11 @@ def _unreachable_token_vocab():
 def test_direct_map_protects_unstable_tokens():
     """Force heavy slot collisions (table far smaller than the vocab) and
     assert the greedy-unstable token always keeps its slot while the packed
-    kernel still returns its id exactly."""
+    kernel still returns its id exactly (in both the legacy sig-keyed map
+    and the word-exact map the kernel actually probes)."""
     from tekken_tpu import Tekkenizer, TokenizerVersion
     from tekken_tpu.ops.packed import PackedEncoder
-    from tekken_tpu.vocab import cuckoo_hash, poly_sig31
+    from tekken_tpu.vocab import WordDirectMap, cuckoo_hash, poly_sig31
 
     vocab = _unreachable_token_vocab()
     tok = Tekkenizer(vocab=vocab, special_tokens=[], pattern=".*",
@@ -171,11 +172,40 @@ def test_direct_map_protects_unstable_tokens():
     s = int(cuckoo_hash(sig, 3, seed, 64))
     assert (dm[s, 0], dm[s, 1], dm[s, 2]) == (sig, 3, 256)
 
+    # same collision pressure on the word-exact map: 'xyz' must survive
+    wm = WordDirectMap.build(tok.ranks, _min_log2=4, slots_per_entry=0)
+    assert wm.size == 16
+    assert wm.lookup_host(b"xyz") == 256
+
     # end-to-end through the real kernel with the collision-laden table
     import jax.numpy as jnp
     enc = PackedEncoder(tok, rows=8, row_len=256)
-    enc._piece_packed = jnp.asarray(dm)
-    enc._pseed1 = int(seed)
+    enc._word_rows = jnp.asarray(wm.rows)
+    enc._wseed = int(wm.seed)
     assert enc.encode_batch(["xyz"]) == [[256]]
     assert enc.encode_batch(["xyzxyz abc"]) == [
         encode_ranks("xyzxyz abc", tok.ranks)]
+
+
+def test_word_direct_map_lookup(tok):
+    """Host probes of the word-exact map: every stored token resolves to
+    its own rank; non-tokens and oversize pieces miss; evicted entries are
+    all greedy-stable."""
+    from tekken_tpu.oracle import byte_pair_merge_no_whole
+    from tekken_tpu.vocab import WordDirectMap
+
+    wm = WordDirectMap.build(tok.ranks)
+    hits = total = 0
+    for b, r in tok.ranks.items():
+        if not 2 <= len(b) <= wm.max_len:
+            continue
+        total += 1
+        got = wm.lookup_host(b)
+        if got >= 0:
+            assert got == r, b
+            hits += 1
+        else:
+            assert byte_pair_merge_no_whole(b, tok.ranks) == [r], b
+    assert hits >= 0.9 * total
+    assert wm.lookup_host(b"zz@@zz") == -1
+    assert wm.lookup_host(b"x" * 30) == -1

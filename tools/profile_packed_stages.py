@@ -83,10 +83,9 @@ def main():
             def body(i, acc):
                 l2 = perturb(lengths, i)
                 r = packed_encode_impl(
-                    byts, l2, enc._packed, enc._dense, enc._piece_packed,
-                    enc._token_bytes, enc._seed1, enc._seed2,
-                    piece_k=enc._piece_k, pseed1=enc._pseed1,
-                    pseed2=enc._pseed2, np_cap=enc._np_cap, _stage=stage)
+                    byts, l2, enc._packed, enc._dense, enc._word_rows,
+                    enc._seed1, enc._seed2, wseed=enc._wseed,
+                    np_cap=enc._np_cap, _stage=stage)
                 if stage is None:
                     tok, n_out, fb_s, fb_l, n_mp = r
                     r = (tok.sum() + n_out
@@ -96,7 +95,7 @@ def main():
         return run
 
     cases = [("boundaries", run_boundaries)]
-    stage_names = {1: "scans", 2: "+signatures", 3: "+probe+verify",
+    stage_names = {1: "scans", 2: "+content-words", 3: "+word-probe",
                    4: "+matrix-scatter", 5: "+merge+unscatter",
                    None: "full"}
     for st in [1, 2, 3, 4, 5, None]:
