@@ -185,6 +185,30 @@ def main():
     dt = time.time() - t3
     bps = batch_bytes * iters / dt
 
+    # decode throughput: tokens -> text through the device gather path
+    # (decode_batch: one device call for all non-special runs + host UTF-8)
+    decode_bps = None
+    try:
+        from tekken_tpu.special_tokens import SpecialTokenPolicy
+        shift = tok.num_special_tokens()
+        tok_np = np.asarray(out[0])
+        ranks = tok_np[tok_np >= 0]
+        rows = (np.flatnonzero(tok_np >= 0) // R)
+        cut = np.searchsorted(rows, np.arange(B + 1))
+        id_lists = [(ranks[cut[i]:cut[i + 1]] + shift).tolist()
+                    for i in range(B)]
+        tok.decode_batch(id_lists[:2], SpecialTokenPolicy.IGNORE)  # warm
+        t5 = time.time()
+        texts_out = tok.decode_batch(id_lists, SpecialTokenPolicy.IGNORE)
+        dt5 = time.time() - t5
+        out_bytes = sum(len(t.encode("utf-8")) for t in texts_out)
+        decode_bps = out_bytes / dt5
+        assert texts_out[0] == docs[0], "decode parity failure in bench"
+        sys.stderr.write(f"[bench] device decode_batch: "
+                         f"{decode_bps/1e6:.1f} MB/s (text out)\n")
+    except Exception as e:  # pragma: no cover
+        sys.stderr.write(f"[bench] decode bench unavailable: {e}\n")
+
     # host-native engine detail (same corpus; thread-pooled C++ engine)
     native_bps = None
     try:
@@ -206,6 +230,8 @@ def main():
         "vs_baseline": round(bps / TARGET, 4),
         "detail": {
             "device_packed_path_bytes_per_sec": round(bps, 1),
+            "device_decode_bytes_per_sec": (
+                round(decode_bps, 1) if decode_bps else None),
             "native_host_engine_bytes_per_sec": (
                 round(native_bps, 1) if native_bps else None),
             "target_bytes_per_sec": TARGET,

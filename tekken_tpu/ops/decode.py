@@ -66,17 +66,28 @@ class DeviceDecoder:
 
     def decode_ranks(self, ranks) -> bytes:
         """Engine ranks -> concatenated bytes (device gathers)."""
+        ranks = np.asarray(ranks, dtype=np.int32)
+        if ranks.size > self._cap:
+            raise ValueError(f"{ranks.size} tokens exceed capacity "
+                             f"{self._cap}")
+        return self.decode_stream(ranks)
+
+    def decode_stream(self, ranks: np.ndarray) -> bytes:
+        """Engine ranks of any length -> concatenated bytes; streams in
+        capacity-sized device calls (bytes concatenate freely, so chunking
+        at token granularity is exact)."""
         import jax.numpy as jnp
 
         ranks = np.asarray(ranks, dtype=np.int32)
         if ranks.size == 0:
             return b""
-        if ranks.size > self._cap:
-            raise ValueError(f"{ranks.size} tokens exceed capacity "
-                             f"{self._cap}")
-        buf = np.zeros(self._cap, dtype=np.int32)
-        buf[:ranks.size] = ranks
         fn = decode_bytes_fn(self._max_len)
-        out, total = fn(jnp.asarray(buf), ranks.size, self._flat,
-                        self._offsets)
-        return np.asarray(out)[:int(total)].tobytes()
+        parts = []
+        for lo in range(0, ranks.size, self._cap):
+            chunk = ranks[lo:lo + self._cap]
+            buf = np.zeros(self._cap, dtype=np.int32)
+            buf[:chunk.size] = chunk
+            out, total = fn(jnp.asarray(buf), chunk.size, self._flat,
+                            self._offsets)
+            parts.append(np.asarray(out)[:int(total)].tobytes())
+        return b"".join(parts)

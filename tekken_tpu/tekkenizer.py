@@ -317,8 +317,78 @@ class Tekkenizer:
 
     def decode_batch(self, token_lists,
                      special_token_policy: SpecialTokenPolicy) -> list[str]:
-        """Batched decode convenience (TPU-native extension)."""
-        return [self.decode(t, special_token_policy) for t in token_lists]
+        """Batched decode through the device gather path (TPU-native
+        extension): all non-special runs across the batch are concatenated
+        into ONE rank stream, their bytes materialized by device span
+        gathers (ops/decode.py), and run/policy semantics (the reference's
+        decode_all grouping, src/tekkenizer.rs:463-560) reassembled on
+        host.  Falls back to the per-token host loop if the device decoder
+        is unavailable."""
+        dec = self._get_device_decoder()
+        if dec is None:
+            return [self.decode(t, special_token_policy) for t in token_lists]
+
+        import numpy as np
+
+        ns = self._num_special_tokens
+        n_ranks = len(self._decode_table.offsets) - 1
+        policy = special_token_policy
+
+        # plan pass: policy checks + run structure; collect rank segments
+        plans: list[list[tuple[str, object]]] = []
+        segs: list[np.ndarray] = []
+        for ids in token_lists:
+            a = np.asarray(list(ids), dtype=np.int64)
+            plan: list[tuple[str, object]] = []
+            if a.size:
+                sp = a < ns
+                cuts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(sp.astype(np.int8))) + 1,
+                     [a.size]))
+                for k in range(len(cuts) - 1):
+                    run = a[cuts[k]:cuts[k + 1]]
+                    if sp[cuts[k]]:
+                        if policy is SpecialTokenPolicy.RAISE:
+                            raise SpecialTokenPolicyError(
+                                f"Decoding tokens that contain special "
+                                f"tokens ({run.tolist()!r}) is not allowed")
+                        if policy is SpecialTokenPolicy.KEEP:
+                            plan.append(("s", "".join(
+                                self._special_tokens[t].token_str
+                                for t in run)))
+                    else:
+                        ranks = run - ns
+                        if ranks.min() < 0 or ranks.max() >= n_ranks:
+                            bad = run[(ranks < 0) | (ranks >= n_ranks)][0]
+                            raise TokenizersError(
+                                f"Invalid token id for decode: {bad}")
+                        plan.append(("r", len(segs)))
+                        segs.append(ranks.astype(np.int32))
+            plans.append(plan)
+
+        # one device call decodes every non-special run in the batch
+        if segs:
+            stream = np.concatenate(segs)
+            data = dec.decode_stream(stream)
+            offs = self._decode_table.offsets
+            tok_bytes = (offs[stream + 1] - offs[stream]).astype(np.int64)
+            seg_tok_cuts = np.concatenate(
+                ([0], np.cumsum([s.size for s in segs])))
+            byte_cuts = np.concatenate(([0], np.cumsum(tok_bytes)))
+
+        out: list[str] = []
+        for plan in plans:
+            parts = []
+            for kind, val in plan:
+                if kind == "s":
+                    parts.append(val)
+                else:
+                    lo = byte_cuts[seg_tok_cuts[val]]
+                    hi = byte_cuts[seg_tok_cuts[val + 1]]
+                    parts.append(data[lo:hi].decode("utf-8",
+                                                    errors="replace"))
+            out.append("".join(parts))
+        return out
 
     def decode(self, tokens: Sequence[int],
                special_token_policy: SpecialTokenPolicy) -> str:
@@ -573,6 +643,16 @@ class Tekkenizer:
                 return None
             self._packed_encoders[key] = enc
         return enc
+
+    def _get_device_decoder(self):
+        if getattr(self, "_device_decoder", None) is None:
+            try:
+                from .ops.decode import DeviceDecoder
+                self._device_decoder = DeviceDecoder(self)
+            except Exception as e:
+                self._engine_failed("device-decode", e, device_path=True)
+                self._device_decoder = False
+        return self._device_decoder or None
 
     def _get_native_encoder(self):
         if self._native_encoder is None:

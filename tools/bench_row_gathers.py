@@ -97,14 +97,17 @@ def main():
         return v[::-1].sum() + v.sum()
     cases["flip"] = (repeat(flip), vals)
 
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     for name, (fn, arg) in cases.items():
+        if only and name not in only:
+            continue
         r = int(fn(arg))  # compile+warm
         t0 = time.time()
         r = int(fn(arg))
         dt = time.time() - t0
         rate = N * REPS / dt
-        print(f"{name:8s} {rate/1e6:10.1f} M/s   ({dt*1e3/REPS:8.4f} ms/pass"
-              f" @ N={N})  [{r}]")
+        print(f"{name:9s} {rate/1e6:10.1f} M/s  ({dt*1e3/REPS:8.4f} ms/pass"
+              f" @ N={N})  [{r}]", flush=True)
 
 
 if __name__ == "__main__":
