@@ -172,7 +172,8 @@ def _char_boundaries(cp, is_valid, pk=None):
     S = jax.lax.cummax(jnp.where(change, idx, -1))          # run start
     u = jax.lax.cummax(jnp.where(~is_nl & is_valid, idx, -1))  # last non-nl <= i
     BIG = jnp.int32(1 << 30)
-    f = jax.lax.cummin(jnp.where(is_nl, idx, BIG)[::-1])[::-1]  # first nl >= i
+    # native reverse scans (~3x the [::-1] scan [::-1] idiom)
+    f = jax.lax.cummin(jnp.where(is_nl, idx, BIG), reverse=True)  # 1st nl >= i
 
     # shifted neighbor context
     p_is_w = _shift(is_w, -1, False)
@@ -234,7 +235,7 @@ def _char_boundaries(cp, is_valid, pk=None):
     # unless there is no nl left in it, in which case f[i] jumps past E
     # (into a later run or BIG).  So test f[i] against the next change:
     nxt_change_pos = jax.lax.cummin(
-        jnp.where(change_next, idx, BIG)[::-1])[::-1]  # run_last, per element
+        jnp.where(change_next, idx, BIG), reverse=True)  # run_last, per elem
     no_nl_to_end = f > nxt_change_pos
     no_nl_to_end_prev = f_prev > nxt_change_pos  # i-1 same run => same run_last
 

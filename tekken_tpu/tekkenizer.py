@@ -130,10 +130,13 @@ class Tekkenizer:
         self._audio_config = audio_config
         self._audio_encoder = audio_encoder
 
-        # Lazily-built accelerated engines.
+        # Lazily-built accelerated engines.  The hierarchy (docs/PARITY.md):
+        # packed device kernel (production batch path) > native C++ host
+        # engine (single-string path) > scalar oracle (substrate + final
+        # fallback); the flat kernel (ops/flat.py) is the independent
+        # device implementation kept for differential testing.
         self._pair_table: Optional[PairTable] = None
         self._cuckoo_table = None
-        self._jax_encoder = None
         self._native_encoder = None
         self._last_engine: Optional[str] = None
         self._engine_warned: set[str] = set()
@@ -597,16 +600,6 @@ class Tekkenizer:
                 f"to a slower path (set TEKKEN_TPU_REQUIRE_DEVICE=1 to "
                 f"hard-fail instead).\n{tb}",
                 RuntimeWarning, stacklevel=3)
-
-    def _get_jax_encoder(self):
-        if self._jax_encoder is None:
-            try:
-                from .ops.encode import JaxEncoder
-                self._jax_encoder = JaxEncoder(self)
-            except Exception as e:
-                self._engine_failed("jax-bucketed", e, device_path=True)
-                self._jax_encoder = False
-        return self._jax_encoder or None
 
     def _get_packed_encoder(self, texts):
         """Packed-kernel encoder sized to power-of-two shape buckets (one

@@ -56,10 +56,11 @@ def test_encode_batch_fuzz(tok):
     alpha = "abcdehlortw '\n 123!?"
     texts = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 100)))
              for _ in range(120)]
-    enc = tok._get_jax_encoder()
-    got = enc.encode_batch(texts)
+    got = tok.encode_batch(texts)
+    assert tok.engine_used == "packed-device"
+    shift = tok.num_special_tokens()
     for t, g in zip(texts, got):
-        assert g == encode_ranks(t, tok.ranks), repr(t)
+        assert g == [r + shift for r in encode_ranks(t, tok.ranks)], repr(t)
 
 
 def test_probe_pairs_matches_host(tok):

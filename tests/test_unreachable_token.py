@@ -59,8 +59,6 @@ def test_device_flat(tok):
         [256], [ord("w"), ord("x"), ord("y"), ord("z")]]
 
 
-def test_jax_bucketed(tok):
-    enc = tok._get_jax_encoder()
-    if enc is None:
-        pytest.skip("jax encoder unavailable")
-    assert enc.encode_batch(["xyz"]) == [[256]]
+def test_word_map_probe(tok):
+    # the packed kernel's whole-piece table must hold the unreachable token
+    assert tok.word_map().lookup_host(b"xyz") == 256

@@ -56,4 +56,5 @@ def main(n_random=4000, seed=0):
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main() else 0)
+    n = 400 if "--smoke" in sys.argv else 4000
+    sys.exit(1 if main(n_random=n) else 0)
