@@ -28,7 +28,7 @@ import numpy as np  # noqa: E402
 TARGET = 1e9  # bytes/s north-star
 
 
-def tpu_healthy(timeout_s: int = 150) -> bool:
+def tpu_healthy(timeout_s: int | None = None) -> bool:
     """Probe the TPU tunnel in a subprocess (it can wedge and hang any jax
     call indefinitely); fall back to CPU when unhealthy.
 
@@ -38,6 +38,8 @@ def tpu_healthy(timeout_s: int = 150) -> bool:
     """
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return False
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("TEKKEN_PROBE_TIMEOUT_S", 150))
     import time as _time
     code = ("import jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones(8)*2); print('ok')")
@@ -108,13 +110,25 @@ def build_corpus(words, rng, n_docs, doc_len):
 
 def main():
     platform_note = "tpu"
-    if not tpu_healthy():
+    # the tunnel has intermittent multi-minute stalls: give it two chances
+    if not (tpu_healthy() or tpu_healthy()):
         sys.stderr.write("[bench] TPU tunnel unhealthy — falling back to "
                          "CPU device path\n")
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
         platform_note = "cpu-fallback"
+
+    # persistent local compile cache: kernel variants survive process
+    # restarts (the axon backend's remote compile of a new variant can take
+    # minutes; repeats are instant)
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           os.path.expanduser("~/.cache/tekken_jax"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     rng = random.Random(1234)
     words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
@@ -169,13 +183,11 @@ def main():
     t2 = time.time()
     out = fn(jbuf, jlen, *tables)
     n0 = int(out[1])
-    n_mp = int(out[4])
-    assert n_mp <= enc._np_cap, (
-        f"bench batch overflows device capacity ({n_mp} > {enc._np_cap}); "
-        f"the measured run would be incomplete")
+    assert int(out[4]) == 0, (
+        "bench batch overflows device merge-bucket capacity; the measured "
+        "run would be incomplete")
     sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
-                     f"{jax.devices()[0].platform}; n_out {n0}, "
-                     f"n_mp {n_mp}/{enc._np_cap}\n")
+                     f"{jax.devices()[0].platform}; n_out {n0}\n")
 
     iters = int(os.environ.get("BENCH_ITERS", 8))
     t3 = time.time()
@@ -198,9 +210,11 @@ def main():
         id_lists = [(ranks[cut[i]:cut[i + 1]] + shift).tolist()
                     for i in range(B)]
         tok.decode_batch(id_lists[:2], SpecialTokenPolicy.IGNORE)  # warm
+        d_iters = int(os.environ.get("BENCH_DECODE_ITERS", 4))
         t5 = time.time()
-        texts_out = tok.decode_batch(id_lists, SpecialTokenPolicy.IGNORE)
-        dt5 = time.time() - t5
+        for _ in range(d_iters):
+            texts_out = tok.decode_batch(id_lists, SpecialTokenPolicy.IGNORE)
+        dt5 = (time.time() - t5) / d_iters
         out_bytes = sum(len(t.encode("utf-8")) for t in texts_out)
         decode_bps = out_bytes / dt5
         assert texts_out[0] == docs[0], "decode parity failure in bench"

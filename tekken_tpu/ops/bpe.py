@@ -152,7 +152,8 @@ def merge_bucket_fn(P: int, max_probes: int):
     return make_merge_bucket(P, max_probes)
 
 
-def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int):
+def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
+                       fixed_rounds: int | None = None):
     """Per-row argmin BPE merge in a compact-shift layout.
 
     rank: (B, P) segment ranks, left-aligned (-1 pad); pr: (B, P) pair ranks
@@ -161,6 +162,11 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int):
     closes the gap with a lane shift (pure selects — no pointer arrays, no
     scatters; the only gathers are two neighbor reads and two cuckoo
     probes).  Returns (rank, n_seg) with results still left-aligned.
+
+    ``fixed_rounds``: statically unroll exactly that many rounds instead of
+    a while_loop — a P-lane piece can merge at most P-1 times, and the
+    unrolled form drops the per-round any() reduction/sync (used for the
+    P=8 short bucket, whose bound is 7).
     """
     import jax
     import jax.numpy as jnp
@@ -220,5 +226,11 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int):
                        pr)
         return rank, pr, n_new
 
-    rank, pr, n_seg = jax.lax.while_loop(cond, body, (rank, pr, n_seg))
+    if fixed_rounds is not None:
+        state = (rank, pr, n_seg)
+        for _ in range(fixed_rounds):
+            state = body(state)   # finished rows no-op via the do mask
+        rank, pr, n_seg = state
+    else:
+        rank, pr, n_seg = jax.lax.while_loop(cond, body, (rank, pr, n_seg))
     return rank, n_seg

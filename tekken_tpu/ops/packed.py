@@ -31,6 +31,7 @@ from .bpe import INF
 from .pretokenize import byte_boundaries
 
 P_LANES = 32
+P_SHORT = 8
 
 
 def default_np_cap(n_bytes: int) -> int:
@@ -126,11 +127,11 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     Returns (tok i32[N] — tok[i] >= 0 is the token whose piece starts at
     flat byte i, in byte order, uncompacted; n_out,
     fb_start i32[NP] byte offsets of fallback pieces (-1 = none),
-    fb_len i32[NP], n_mp).  Fallback pieces (longer than P lanes or beyond
-    row capacity, and not vocab tokens) produce no tokens on device; the
-    host splices oracle results at their positions.  n_mp > np_cap means
-    capacity overflow: pieces beyond NP could not even be recorded as
-    fallbacks and the host must re-encode the whole batch.
+    fb_len i32[NPT], overflow i32).  Fallback pieces (longer than P_LANES
+    and not vocab tokens) produce no tokens on device; the host splices
+    oracle results at their positions.  overflow != 0 means a merge-bucket
+    capacity overflow: some active pieces could not even be recorded, and
+    the host must re-encode the whole batch.
     """
     import jax
     import jax.numpy as jnp
@@ -245,25 +246,34 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     if _stage == 3:  # + probe (word-exact, no separate verify)
         return hit_start.astype(jnp.int32).sum() + found.sum()
 
-    # --- active pieces (vocab misses) get the merge matrix ---
-    mp_mark = is_pstart & multi & ~hit_start
-    # row ids are only ever read at piece-start positions (the row-word
-    # scatter below), so no cummax broadcast across the piece is needed
-    mp_id = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
-    n_mp = jnp.sum(mp_mark.astype(jnp.int32))
+    # --- active pieces (vocab misses) get a merge matrix, SPLIT BY PIECE
+    # LENGTH: a P=8 bucket (most misses — the merge while-loop finishes in
+    # <= 7 rounds on 4x-narrower rows) and a P=32 bucket for rare long
+    # misses.  Both buckets share the ONE N-source scatter via disjoint
+    # row ranges, so the split costs only a second small cumsum.  Round
+    # count was the dominant kernel cost before the split (a single
+    # 32-byte piece held every short piece hostage for ~31 rounds). ---
+    mp_mark = multi & ~hit_start
+    short_mark = mp_mark & (plen <= P_SHORT)
+    long_mark = mp_mark & (plen > P_SHORT)
+    id_s = jnp.cumsum(short_mark.astype(jnp.int32)) - 1
+    id_l = jnp.cumsum(long_mark.astype(jnp.int32)) - 1
+    NP8 = NP
+    NP32 = max(64, NP // 8)   # long misses are rare; overflow => host
+    NPT = NP8 + NP32
+    n_s = jnp.sum(short_mark.astype(jnp.int32))
+    n_l = jnp.sum(long_mark.astype(jnp.int32))
+    # capacity overflow => the host re-encodes the whole batch (exact)
+    overflow = ((n_s > NP8) | (n_l > NP32)).astype(jnp.int32)
 
-    # fallback: oversize (len > P) or capacity overflow
-    fb_piece = mp_mark & ((plen > P_LANES) | (mp_id >= NP))
+    # oversize pieces (> P_LANES lanes) own a LONG row but contribute no
+    # lanes: the host splices oracle results at their recorded spans
+    fb_piece = long_mark & (plen > P_LANES)
 
-    # --- build the merge matrix.  Lane contents are NOT scattered: inside
-    # the tier branch below they are GATHERED from byte_rank at
-    # start+lane (rows*P elements instead of an N-source scatter), and
-    # first-round pair ranks come from the dense table on the same slice.
-    # The only N-source scatter left is the packed per-row word. ---
-    # per-row start/length land at row granularity; a fallback piece owns
-    # its row but contributes no lanes, marked by the fb bit
-    row_write = mp_mark & (mp_id < NP)
-    tgt_row = jnp.where(row_write, mp_id, NP)
+    row_write_s = short_mark & (id_s < NP8)
+    row_write_l = long_mark & (id_l < NP32)
+    tgt_row = jnp.where(row_write_s, id_s,
+                        jnp.where(row_write_l, NP8 + id_l, NPT))
     if N <= (1 << 18) and R <= (1 << 13):
         # (start, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
         # over the N-sized source instead of two (start == idx at the
@@ -271,7 +281,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         word = ((idx.astype(jnp.uint32) << jnp.uint32(14))
                 | (plen.astype(jnp.uint32) << jnp.uint32(1))
                 | fb_piece.astype(jnp.uint32))
-        w = jnp.zeros(NP, jnp.uint32).at[tgt_row].set(word, mode="drop")
+        w = jnp.zeros(NPT, jnp.uint32).at[tgt_row].set(word, mode="drop")
         start_r = (w >> jnp.uint32(14)).astype(jnp.int32)
         plen_r = ((w >> jnp.uint32(1)) & jnp.uint32(0x1FFF)).astype(jnp.int32)
         fb_r = (w & jnp.uint32(1)) == jnp.uint32(1)
@@ -280,9 +290,9 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         fb_len = jnp.where(fb_r, plen_r, 0)
         start0 = jnp.where(~fb_r & (plen_r > 0), start_r, -1)
     else:
-        start0 = jnp.full(NP, -1, jnp.int32).at[tgt_row].set(
+        start0 = jnp.full(NPT, -1, jnp.int32).at[tgt_row].set(
             idx, mode="drop")
-        sl = jnp.zeros(NP, jnp.int32).at[tgt_row].set(
+        sl = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
             jnp.where(fb_piece, -plen, plen), mode="drop")
         nseg0 = jnp.maximum(sl, 0)
         fb_start = jnp.where(sl < 0, start0, -1)
@@ -291,24 +301,22 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     if _stage == 4:  # + matrix scatter
         return (start0.sum() + nseg0.sum() + fb_start.sum() + fb_len.sum())
 
-    # --- merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py).
-    # Tiered row count: every per-round gather/probe costs O(rows), and the
-    # row capacity NP is a safety bound far above the typical active-piece
-    # count (vocab misses are a few percent of natural text).  mp_id is a
-    # prefix cumsum, so active rows are ALREADY front-compacted: when the
-    # batch's actual count fits a quarter (or sixteenth) of capacity, the
-    # whole merge stage — first-round dense-table pair probe, merge loop,
-    # and token un-scatter — runs on a static slice.  No compaction pass,
-    # just a lax.cond picking the smallest sufficient tier. ---
+    # --- merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py)
+    # per bucket, each tiered: cumsum ids are front-compacted, so a
+    # lax.cond picks the smallest static slice covering the actual count —
+    # first-round dense-table probe, merge loop, and token un-scatter all
+    # run tier-sized.  Lane contents are GATHERED from byte_rank at
+    # start+lane; no lane scatters exist. ---
     from .bpe import merge_rows_compact
 
-    pos = jnp.arange(P_LANES, dtype=jnp.int32)[None, :]
     # singles and whole-piece hits emit elementwise; merged lanes scatter in
     single = is_pstart & (plen == 1)
     tok_base = jnp.where(single, byte_rank,
                          jnp.where(hit_start, found, -1))
 
-    def merge_tier(rows):
+    def merge_tier(rows, P):
+        pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+
         def run(args):
             n0, s0, tok = args
             n0, s0 = n0[:rows], s0[:rows]
@@ -325,19 +333,31 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
             q_ok = (pos + 1 < n0[:, None]) & (r0 >= 0) & (right >= 0)
             pr0 = jnp.where(
                 q_ok, dense_tab[jnp.where(q_ok, r0 * 256 + right, 0)], INF)
-            r, n = merge_rows_compact(r0, pr0, n0, packed_table,
-                                      seed1, seed2)
+            r, n = merge_rows_compact(
+                r0, pr0, n0, packed_table, seed1, seed2,
+                fixed_rounds=P - 1 if P <= P_SHORT else None)
             lane_ok = (pos < n[:, None]) & (s0[:, None] >= 0)
             return tok.at[jnp.where(lane_ok, lane_byte_pos, N)].set(
                 jnp.where(lane_ok, r, -1), mode="drop")
         return run
 
-    tiers = sorted({max(64, NP // 16), max(64, NP // 4), NP})
-    branch = merge_tier(tiers[-1])
-    for rows in reversed(tiers[:-1]):
-        branch = (lambda small, big, rows: lambda args: jax.lax.cond(
-            n_mp <= rows, small, big, args))(merge_tier(rows), branch, rows)
-    tok_flat = branch((nseg0, start0, tok_base))
+    def bucket_branch(tiers, P, count, n0, s0, tok):
+        tiers = sorted(set(tiers))
+        branch = merge_tier(tiers[-1], P)
+        for rows in reversed(tiers[:-1]):
+            branch = (lambda small, big, rows: lambda args: jax.lax.cond(
+                count <= rows, small, big, args))(
+                    merge_tier(rows, P), branch, rows)
+        return branch((n0, s0, tok))
+
+    # tier counts trade compile time (each tier instantiates the merge
+    # while-loop) against wasted rows; long misses are rare, so 2 tiers
+    tok_flat = bucket_branch(
+        [max(64, NP8 // 16), max(64, NP8 // 4), NP8], P_SHORT, n_s,
+        nseg0[:NP8], start0[:NP8], tok_base)
+    tok_flat = bucket_branch(
+        [max(64, NP32 // 4), NP32], P_LANES, n_l,
+        nseg0[NP8:], start0[NP8:], tok_flat)
     if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
 
@@ -346,7 +366,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # pass, while the device scatters it replaces cost two N-source
     # scatter passes — and the readback halves.
     n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
-    return tok_flat, n_out, fb_start, fb_len, n_mp
+    return tok_flat, n_out, fb_start, fb_len, overflow
 
 
 @functools.lru_cache(maxsize=8)
@@ -403,10 +423,10 @@ class PackedEncoder:
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
                               self._wseed)
-        tok, n_out, fb_start, fb_len, n_mp = fn(
+        tok, n_out, fb_start, fb_len, overflow = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)
-        if int(n_mp) > self._np_cap:
+        if int(overflow):
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]
         tok = np.asarray(tok)

@@ -60,12 +60,12 @@ class DistributedEncoder:
         ws = self._wseed
 
         def shard_fn(byts, lengths, packed, dense, wrows):
-            tok, n_out, fb_start, fb_len, n_mp = packed_encode_impl(
+            tok, n_out, fb_start, fb_len, overflow = packed_encode_impl(
                 byts, lengths, packed, dense, wrows,
                 seed1, seed2, wseed=ws, np_cap=cap)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
-            return (tok, n_out[None], fb_start, fb_len, n_mp[None],
+            return (tok, n_out[None], fb_start, fb_len, overflow[None],
                     total_bytes, total_tokens)
 
         kwargs = dict(
@@ -83,7 +83,7 @@ class DistributedEncoder:
     def encode_step(self, buf: np.ndarray, lengths: np.ndarray):
         """One jitted distributed step over a packed (rows, row_len) buffer.
 
-        Returns (tok, n_out_per_shard, fb_start, fb_len, n_mp_per_shard,
+        Returns (tok, n_out_per_shard, fb_start, fb_len, overflow_per_shard,
         total_bytes, total_tokens); tok is the dp-sharded uncompacted token
         stream — tok[i] >= 0 is the token whose piece starts at flat byte i.
         """
@@ -109,7 +109,7 @@ class DistributedEncoder:
                 buf[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
             lengths[i] = len(d)
 
-        (tok, n_out, fb_start, fb_len, n_mp, total_bytes,
+        (tok, n_out, fb_start, fb_len, overflow, total_bytes,
          total_tokens) = self.encode_step(buf, lengths)
 
         n_shards = self.mesh.devices.size
@@ -119,13 +119,13 @@ class DistributedEncoder:
         n_out = np.asarray(n_out)
         fb_start = np.asarray(fb_start)
         fb_len = np.asarray(fb_len)
-        n_mp = np.asarray(n_mp)
+        overflow = np.asarray(overflow)
         flat = buf.reshape(-1)
 
         docs: list[list[int]] = []
         corrected = False  # host fallbacks change the device token counts
         for s in range(n_shards):
-            if n_mp[s] > self._shard_cap:
+            if overflow[s]:
                 corrected = True
                 # capacity overflow on this shard: re-encode its rows on host
                 from ..oracle import encode_ranks

@@ -209,3 +209,34 @@ def test_word_direct_map_lookup(tok):
     assert hits >= 0.9 * total
     assert wm.lookup_host(b"zz@@zz") == -1
     assert wm.lookup_host(b"x" * 30) == -1
+
+
+def test_merge_fixed_rounds_equals_while_loop(tok):
+    """The statically-unrolled P-1-round merge (short bucket) must equal
+    the while_loop variant on random rows."""
+    import jax.numpy as jnp
+    from tekken_tpu.ops.bpe import INF, merge_rows_compact
+
+    table = tok.cuckoo_table()
+    dense = table.byte_pair_dense()
+    rng = random.Random(3)
+    B, P = 16, 8
+    r0 = np.full((B, P), -1, np.int32)
+    n0 = np.zeros(B, np.int32)
+    for b in range(B):
+        n = rng.randint(0, P)
+        n0[b] = n
+        for i in range(n):
+            r0[b, i] = rng.randrange(256)
+    pr0 = np.full((B, P), INF, np.int32)
+    for b in range(B):
+        for i in range(max(0, n0[b] - 1)):
+            pr0[b, i] = dense[r0[b, i] * 256 + r0[b, i + 1]]
+    args = (jnp.asarray(r0), jnp.asarray(pr0), jnp.asarray(n0),
+            jnp.asarray(table.packed), int(table.seed1), int(table.seed2))
+    rank_w, n_w = merge_rows_compact(*args)
+    rank_f, n_f = merge_rows_compact(*args, fixed_rounds=P - 1)
+    assert np.array_equal(np.asarray(n_w), np.asarray(n_f))
+    lanes = np.arange(P)[None, :]
+    mask = lanes < np.asarray(n_w)[:, None]
+    assert np.array_equal(np.asarray(rank_w)[mask], np.asarray(rank_f)[mask])

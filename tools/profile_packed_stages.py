@@ -25,7 +25,8 @@ def build_setup():
 
     from bench import build_bench_vocab, build_corpus, tpu_healthy
 
-    if "--cpu" in sys.argv or not tpu_healthy():
+    if "--cpu" in sys.argv or (
+            "--force-tpu" not in sys.argv and not tpu_healthy()):
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -54,6 +55,13 @@ def build_setup():
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tekken_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     enc, buf, lengths, nbytes = build_setup()
     jbuf = jnp.asarray(buf)
@@ -87,19 +95,26 @@ def main():
                     enc._seed1, enc._seed2, wseed=enc._wseed,
                     np_cap=enc._np_cap, _stage=stage)
                 if stage is None:
-                    tok, n_out, fb_s, fb_l, n_mp = r
+                    tok, n_out, fb_s, fb_l, overflow = r
                     r = (tok.sum() + n_out
-                         + fb_s.sum() + fb_l.sum() + n_mp)
+                         + fb_s.sum() + fb_l.sum() + overflow)
                 return acc + r
             return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
         return run
 
-    cases = [("boundaries", run_boundaries)]
+    # PROF_STAGES: comma list from {bnd,1,2,3,4,5,full} to bound compile
+    # time per run (each merge-bearing stage compiles ~minutes on the
+    # tunnel); default all
+    sel = os.environ.get("PROF_STAGES", "bnd,1,2,3,4,5,full").split(",")
+    cases = []
+    if "bnd" in sel:
+        cases.append(("boundaries", run_boundaries))
     stage_names = {1: "scans", 2: "+content-words", 3: "+word-probe",
                    4: "+matrix-scatter", 5: "+merge+unscatter",
                    None: "full"}
     for st in [1, 2, 3, 4, 5, None]:
-        cases.append((stage_names[st], make_stage(st)))
+        if ("full" if st is None else str(st)) in sel:
+            cases.append((stage_names[st], make_stage(st)))
 
     prev = 0.0
     for name, fn in cases:
