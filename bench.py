@@ -156,8 +156,8 @@ def main():
     sys.stderr.write(f"[bench] cuckoo table: {table.num_pairs} pairs, size "
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
-    # np_cap counts ACTIVE pieces (multi-byte vocab misses; ~bytes/80 on
-    # this corpus) — N/16 leaves a wide margin, asserted after warmup.
+    # np_cap counts vocab misses (~bytes/80 on this corpus) — N/16 leaves
+    # a wide margin, asserted after warmup.
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
     from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
     enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 16)
@@ -171,12 +171,13 @@ def main():
         assert g == want, "parity failure in bench batch"
 
     import jax
+    import jax.numpy as jnp
     buf, lengths = enc.pack(docs)
     fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
-                          enc._wseed)
+                          enc._wseed)   # device-merge kernel
     tables = (enc._packed, enc._dense, enc._word_rows)
-    jbuf = jax.numpy.asarray(buf)
-    jlen = jax.numpy.asarray(lengths)
+    jbuf = jnp.asarray(buf)
+    jlen = jnp.asarray(lengths)
 
     # warmup / compile (int() readback = real synchronization; the axon
     # tunnel's block_until_ready does not reliably block)
@@ -184,11 +185,22 @@ def main():
     out = fn(jbuf, jlen, *tables)
     n0 = int(out[1])
     assert int(out[4]) == 0, (
-        "bench batch overflows device merge-bucket capacity; the measured "
-        "run would be incomplete")
+        "bench batch overflows device merge capacity; the measured run "
+        "would be incomplete")
     sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
                      f"{jax.devices()[0].platform}; n_out {n0}\n")
+    # full parity of the device token stream, once, untimed
+    st = np.asarray(out[0])
+    got_ranks = st[st >= 0]
+    want = []
+    for d in docs:
+        want.extend(encode_ranks(d, tok.ranks))
+    assert got_ranks.tolist() == want, "device stream != oracle"
+    sys.stderr.write("[bench] full-batch parity of the device stream OK\n")
 
+    # the measured loop: pure device encode, tokens device-resident (the
+    # production serving shape — tokens feed a model on device), one
+    # scalar readback at the end
     iters = int(os.environ.get("BENCH_ITERS", 8))
     t3 = time.time()
     for _ in range(iters):

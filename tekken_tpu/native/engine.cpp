@@ -375,6 +375,35 @@ int64_t tkn_encode(void* h, const uint8_t* data, int64_t len, int32_t* out,
   return cnt;
 }
 
+// Merge pre-split pieces (the device kernel's vocab misses): spans[i] =
+// (starts[i], lens[i]) into buf.  Semantics identical to the oracle's
+// byte_pair_merge: whole-piece lookup first, then greedy lowest-rank
+// merging.  out receives tokens back-to-back; out_cnts[i] = tokens of
+// span i.  Returns total tokens, -1 if out_cap < sum(lens).
+int64_t tkn_merge_spans(void* h, const uint8_t* buf, const int32_t* starts,
+                        const int32_t* lens, int64_t n_spans, int32_t* out,
+                        int32_t* out_cnts, int64_t out_cap) {
+  Engine& e = *(Engine*)h;
+  thread_local MergeScratch ms;
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n_spans; i++) {
+    const uint8_t* piece = buf + starts[i];
+    int32_t n = lens[i];
+    if (cnt + n > out_cap) return -1;
+    int32_t c;
+    int32_t whole = (n > 1) ? lookup_piece(e, piece, n) : -1;
+    if (whole >= 0) {
+      out[cnt] = whole;
+      c = 1;
+    } else {
+      c = merge_piece(e, piece, n, out + cnt, ms);
+    }
+    out_cnts[i] = c;
+    cnt += c;
+  }
+  return cnt;
+}
+
 // Encode a batch in parallel. docs: concatenated bytes; offsets: n_docs+1.
 // out: caller buffer of total byte length; out_offsets: n_docs+1 (filled).
 int64_t tkn_encode_batch(void* h, const uint8_t* docs, const int64_t* offsets,

@@ -38,6 +38,10 @@ def _load():
     lib.tkn_encode_batch.argtypes = [ctypes.c_void_p, _i8p, _i64p,
                                      ctypes.c_int64, _i32p, _i64p,
                                      ctypes.c_int32]
+    lib.tkn_merge_spans.restype = ctypes.c_int64
+    lib.tkn_merge_spans.argtypes = [ctypes.c_void_p, _i8p, _i32p, _i32p,
+                                    ctypes.c_int64, _i32p, _i32p,
+                                    ctypes.c_int64]
     return lib
 
 
@@ -87,6 +91,27 @@ class NativeEncoder:
         if cnt < 0:
             raise RuntimeError("native encode overflow")
         return out[:cnt].tolist()
+
+    def merge_spans(self, buf: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray):
+        """Bulk-merge pre-split pieces (the device kernel's vocab misses):
+        spans (starts[i], lens[i]) into ``buf`` (uint8).  Returns (tokens
+        int32 back-to-back, counts int32 per span) with byte_pair_merge
+        semantics (whole-piece lookup first)."""
+        starts = np.ascontiguousarray(starts, dtype=np.int32)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        n = len(starts)
+        if n == 0:
+            return (np.empty(0, np.int32), np.empty(0, np.int32))
+        cap = int(lens.sum())
+        out = np.empty(max(1, cap), dtype=np.int32)
+        cnts = np.empty(n, dtype=np.int32)
+        total = _LIB.tkn_merge_spans(
+            self._h, np.ascontiguousarray(buf, dtype=np.uint8),
+            starts, lens, n, out, cnts, cap)
+        if total < 0:
+            raise RuntimeError("native merge_spans overflow")
+        return out[:total], cnts
 
     def encode_batch(self, texts: Sequence[str], n_threads: int = 0):
         datas = [t.encode("utf-8") for t in texts]

@@ -105,7 +105,8 @@ def _inv_u32(k: int) -> int:
 
 def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
                        seed1: int, seed2: int, wseed: int = 0,
-                       np_cap: int | None = None, _stage: int | None = None):
+                       np_cap: int | None = None, host_merge: bool = False,
+                       _stage: int | None = None):
     """Encode a (B, R) document-row buffer — flat-first architecture.
 
     Whole-piece detection is WORD-EXACT and runs in flat byte space: every
@@ -246,6 +247,45 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     if _stage == 3:  # + probe (word-exact, no separate verify)
         return hit_start.astype(jnp.int32).sum() + found.sum()
 
+    # singles and whole-piece hits emit elementwise at their start byte
+    single = is_pstart & (plen == 1)
+    tok_base = jnp.where(single, byte_rank,
+                         jnp.where(hit_start, found, -1))
+
+    if host_merge:
+        # --- hybrid mode: the device does boundaries + word probe + token
+        # emission; EVERY vocab miss (a few % of natural text) is recorded
+        # as a (start, len) span for the host's native C++ engine to
+        # bulk-merge and splice (ops/packed.py splice_host_merges).  No
+        # merge matrix, no merge rounds, no piece-length limit: host
+        # byte_pair_merge handles any span exactly (whole-piece check
+        # included, so even >24-byte greedy-unstable tokens are exact). ---
+        mp_mark = multi & ~hit_start
+        fb_id = jnp.cumsum(mp_mark.astype(jnp.int32)) - 1
+        n_miss = jnp.sum(mp_mark.astype(jnp.int32))
+        overflow = (n_miss > NP).astype(jnp.int32)
+        tgt = jnp.where(mp_mark & (fb_id < NP), fb_id, NP)
+        if N <= (1 << 18) and R <= (1 << 13):
+            word = ((idx.astype(jnp.uint32) << jnp.uint32(14))
+                    | (plen.astype(jnp.uint32) << jnp.uint32(1))
+                    | jnp.uint32(1))
+            w = jnp.zeros(NP, jnp.uint32).at[tgt].set(word, mode="drop")
+            live = (w & jnp.uint32(1)) == jnp.uint32(1)
+            fb_start = jnp.where(live, (w >> jnp.uint32(14)).astype(
+                jnp.int32), -1)
+            fb_len = jnp.where(live, ((w >> jnp.uint32(1))
+                                      & jnp.uint32(0x1FFF)).astype(
+                jnp.int32), 0)
+        else:
+            fb_start = jnp.full(NP, -1, jnp.int32).at[tgt].set(
+                idx, mode="drop")
+            fb_len = jnp.zeros(NP, jnp.int32).at[tgt].set(
+                plen, mode="drop")
+        n_out = jnp.sum((tok_base >= 0).astype(jnp.int32))
+        if _stage in (4, 5):
+            return fb_start.sum() + fb_len.sum() + n_out
+        return tok_base, n_out, fb_start, fb_len, overflow
+
     # --- active pieces (vocab misses) get a merge matrix, SPLIT BY PIECE
     # LENGTH: a P=8 bucket (most misses — the merge while-loop finishes in
     # <= 7 rounds on 4x-narrower rows) and a P=32 bucket for rare long
@@ -309,11 +349,6 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # start+lane; no lane scatters exist. ---
     from .bpe import merge_rows_compact
 
-    # singles and whole-piece hits emit elementwise; merged lanes scatter in
-    single = is_pstart & (plen == 1)
-    tok_base = jnp.where(single, byte_rank,
-                         jnp.where(hit_start, found, -1))
-
     def merge_tier(rows, P):
         pos = jnp.arange(P, dtype=jnp.int32)[None, :]
 
@@ -370,20 +405,75 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
 
 
 @functools.lru_cache(maxsize=8)
-def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0):
+def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
+                     host_merge: bool = False):
     import functools as ft
     import jax
 
     return jax.jit(ft.partial(packed_encode_impl, seed1=seed1, seed2=seed2,
-                              wseed=wseed, np_cap=np_cap))
+                              wseed=wseed, np_cap=np_cap,
+                              host_merge=host_merge))
+
+
+def splice_host_merges(out, out_pos, flat, fb_start, fb_len, merge_fn,
+                       base: int = 0):
+    """Merge the kernel's recorded miss spans on host and splice their
+    tokens into the device token stream by position.
+
+    out/out_pos: device tokens and their flat byte positions (np arrays);
+    flat: the flat input byte buffer; merge_fn(buf, starts, lens) ->
+    (tokens back-to-back, counts) with byte_pair_merge semantics (the
+    native engine's merge_spans, or the oracle fallback); ``base`` offsets
+    shard-local span positions into ``flat``.  Token k of a span at start
+    s gets position s + k (< s + len, so it never collides with another
+    piece's slots)."""
+    sel = fb_start >= 0
+    starts = fb_start[sel].astype(np.int64)
+    if starts.size == 0:
+        return out, out_pos
+    lens = fb_len[sel].astype(np.int64)
+    toks, cnts = merge_fn(flat, base + starts, lens)
+    cnts = np.asarray(cnts, dtype=np.int64)
+    within = np.arange(len(toks), dtype=np.int64) - np.repeat(
+        np.cumsum(cnts) - cnts, cnts)
+    pos = np.repeat(starts, cnts) + within
+    out = np.concatenate([out, np.asarray(toks, out.dtype)])
+    out_pos = np.concatenate([out_pos, pos.astype(out_pos.dtype)])
+    o = np.argsort(out_pos, kind="stable")
+    return out[o], out_pos[o]
+
+
+def oracle_merge_fn(ranks):
+    """byte_pair_merge-based merge_fn (exact fallback when the native
+    engine is unavailable)."""
+    from ..oracle import byte_pair_merge
+
+    def fn(flat, starts, lens):
+        toks: list[int] = []
+        cnts = np.empty(len(starts), np.int32)
+        for i, (s, ln) in enumerate(zip(starts, lens)):
+            t = byte_pair_merge(flat[s:s + ln].tobytes(), ranks)
+            toks.extend(t)
+            cnts[i] = len(t)
+        return np.asarray(toks, np.int32), cnts
+    return fn
 
 
 class PackedEncoder:
-    """Host wrapper over the packed device kernel, with oracle splicing for
-    fallback pieces.  Drop-in alternative to ops.flat.FlatEncoder."""
+    """Host wrapper over the packed device kernel.
+
+    ``merge="device"`` (default): misses merge on device in the length-
+    bucketed matrix — one scalar readback per batch, the right shape when
+    tokens stay device-resident or the host link is slow (the axon tunnel
+    makes per-batch array readbacks cost ~100ms+, measured).
+    ``merge="host"``: the device only emits whole-piece/single tokens and
+    records every miss as a span for the native C++ engine to bulk-merge
+    and splice — faster when host<->device transfers are cheap (real
+    PCIe/ICI hardware, CPU backend) and exact for ANY vocab (host
+    byte_pair_merge has no piece-length limit)."""
 
     def __init__(self, tokenizer, rows: int = 64, row_len: int = 1024,
-                 np_cap: int | None = None):
+                 np_cap: int | None = None, merge: str = "device"):
         import jax.numpy as jnp
 
         table = tokenizer.cuckoo_table()
@@ -399,6 +489,14 @@ class PackedEncoder:
         self._np_cap = (np_cap if np_cap is not None
                         else default_np_cap(rows * row_len))
         self._ranks = tokenizer.ranks
+        if merge not in ("host", "device"):
+            raise ValueError(f"merge must be 'host' or 'device': {merge!r}")
+        self._host_merge = merge == "host"
+        self._merge_fn = None
+        if self._host_merge:
+            native = tokenizer._get_native_encoder()
+            self._merge_fn = (native.merge_spans if native is not None
+                              else oracle_merge_fn(self._ranks))
 
     def pack(self, texts):
         datas = [t.encode("utf-8") for t in texts]
@@ -418,11 +516,11 @@ class PackedEncoder:
     def encode_batch(self, texts):
         import jax.numpy as jnp
 
-        from ..oracle import byte_pair_merge, encode_ranks
+        from ..oracle import encode_ranks
 
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._wseed)
+                              self._wseed, self._host_merge)
         tok, n_out, fb_start, fb_len, overflow = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)
@@ -430,31 +528,16 @@ class PackedEncoder:
             # capacity overflow (adversarial batch): full host fallback
             return [encode_ranks(t, self._ranks) for t in texts]
         tok = np.asarray(tok)
-        out_pos = np.flatnonzero(tok >= 0).astype(np.int32)
+        out_pos = np.flatnonzero(tok >= 0).astype(np.int64)
         out = tok[out_pos]
 
-        # host fallback for oversize/overflow pieces
+        # host merge of recorded spans (all misses in host mode; only
+        # oversize pieces in device mode)
         fb_start = np.asarray(fb_start)
         fb_len = np.asarray(fb_len)
-        fb = [(int(s), int(l)) for s, l in zip(fb_start, fb_len) if s >= 0]
-        if fb:
-            flat = buf.reshape(-1)
-            extra_toks = []
-            extra_pos = []
-            for s, l in fb:
-                piece = flat[s:s + l].tobytes()
-                toks = byte_pair_merge(piece, self._ranks)
-                extra_toks.extend(toks)
-                # position tokens across the piece span (order restored by
-                # the stable sort below)
-                extra_pos.extend(
-                    (s + np.linspace(0, max(l - 1, 0), len(toks)).astype(int))
-                    .tolist())
-            out = np.concatenate([out, np.asarray(extra_toks, np.int32)])
-            out_pos = np.concatenate([out_pos,
-                                      np.asarray(extra_pos, np.int32)])
-            o = np.argsort(out_pos, kind="stable")
-            out, out_pos = out[o], out_pos[o]
+        merge_fn = self._merge_fn or oracle_merge_fn(self._ranks)
+        out, out_pos = splice_host_merges(
+            out, out_pos, buf.reshape(-1), fb_start, fb_len, merge_fn)
 
         rows = out_pos // self._R
         cut = np.searchsorted(rows, np.arange(len(texts) + 1))

@@ -24,16 +24,23 @@ class DistributedEncoder:
     """
 
     def __init__(self, tokenizer, mesh=None, rows: int = 64,
-                 row_len: int = 1024, np_cap: int | None = None):
+                 row_len: int = 1024, np_cap: int | None = None,
+                 merge: str = "device"):
         self.mesh = mesh if mesh is not None else make_dp_mesh()
         n = self.mesh.devices.size
         if rows % n:
             raise ValueError(f"rows ({rows}) must divide mesh size ({n})")
         self._B = rows
         self._R = row_len
-        from ..ops.packed import default_np_cap
+        from ..ops.packed import default_np_cap, oracle_merge_fn
         self._shard_cap = (np_cap if np_cap is not None
                            else default_np_cap((rows // n) * row_len))
+        if merge not in ("host", "device"):
+            raise ValueError(f"merge must be 'host' or 'device': {merge!r}")
+        self._host_merge = merge == "host"
+        native = tokenizer._get_native_encoder()
+        self._merge_fn = (native.merge_spans if native is not None
+                          else oracle_merge_fn(tokenizer.ranks))
 
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)
@@ -57,12 +64,12 @@ class DistributedEncoder:
         from jax.sharding import PartitionSpec as P
 
         seed1, seed2, cap = self._seed1, self._seed2, self._shard_cap
-        ws = self._wseed
+        ws, hm = self._wseed, self._host_merge
 
         def shard_fn(byts, lengths, packed, dense, wrows):
             tok, n_out, fb_start, fb_len, overflow = packed_encode_impl(
                 byts, lengths, packed, dense, wrows,
-                seed1, seed2, wseed=ws, np_cap=cap)
+                seed1, seed2, wseed=ws, np_cap=cap, host_merge=hm)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
             return (tok, n_out[None], fb_start, fb_len, overflow[None],
@@ -94,7 +101,7 @@ class DistributedEncoder:
 
     def encode_batch(self, texts):
         """Convenience: texts -> per-doc rank lists + psum'd counters."""
-        from ..oracle import byte_pair_merge
+        from ..ops.packed import splice_host_merges
 
         if len(texts) > self._B:
             raise ValueError(f"{len(texts)} docs exceed {self._B} rows")
@@ -137,30 +144,19 @@ class DistributedEncoder:
                                              self._ranks))
                 continue
             stok = tok[s * shard_n:(s + 1) * shard_n]
-            pos = np.flatnonzero(stok >= 0).astype(np.int32)
+            pos = np.flatnonzero(stok >= 0).astype(np.int64)
             block = stok[pos]
-            # splice host-fallback pieces (oversize) at their positions
+            # bulk-merge + splice the shard's recorded miss spans (all
+            # misses in host mode; only oversize pieces in device mode)
             fb_lo = s * (fb_start.shape[0] // n_shards)
             fb_hi = (s + 1) * (fb_start.shape[0] // n_shards)
-            fb_items = [(int(a), int(b)) for a, b in
-                        zip(fb_start[fb_lo:fb_hi], fb_len[fb_lo:fb_hi])
-                        if a >= 0]
-            if fb_items:
-                ext_t, ext_p = [], []
-                base = s * shard_n
-                for a, l in fb_items:
-                    piece = flat[base + a: base + a + l].tobytes()
-                    toks = byte_pair_merge(piece, self._ranks)
-                    ext_t.extend(toks)
-                    ext_p.extend(
-                        (a + np.linspace(0, max(l - 1, 0),
-                                         len(toks)).astype(int)).tolist())
-                block = np.concatenate([block,
-                                        np.asarray(ext_t, np.int32)])
-                pos = np.concatenate([pos, np.asarray(ext_p, np.int32)])
-                o = np.argsort(pos, kind="stable")
-                block, pos = block[o], pos[o]
-                corrected = True
+            had_fb = bool((fb_start[fb_lo:fb_hi] >= 0).any())
+            if had_fb:
+                block, pos = splice_host_merges(
+                    block, pos, flat, fb_start[fb_lo:fb_hi],
+                    fb_len[fb_lo:fb_hi], self._merge_fn,
+                    base=s * shard_n)
+                corrected = True  # spliced tokens aren't in device counts
             rows = pos // self._R  # local row within shard
             cut = np.searchsorted(rows, np.arange(rows_per_shard + 1))
             for r in range(rows_per_shard):

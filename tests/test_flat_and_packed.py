@@ -240,3 +240,35 @@ def test_merge_fixed_rounds_equals_while_loop(tok):
     lanes = np.arange(P)[None, :]
     mask = lanes < np.asarray(n_w)[:, None]
     assert np.array_equal(np.asarray(rank_w)[mask], np.asarray(rank_f)[mask])
+
+
+def test_packed_encoder_host_merge_mode(tok):
+    """merge='host': the device records miss spans and the native engine
+    (or oracle fallback) bulk-merges them — parity on mixed batches
+    including pieces beyond the 32-lane device limit (no length cap in
+    host mode)."""
+    from tekken_tpu.ops.packed import PackedEncoder
+
+    enc = PackedEncoder(tok, rows=16, row_len=512, merge="host")
+    texts = TEXTS + ["a" * 300, "zz@@qq unknownwordhere 12",
+                     " " * 100 + "end"]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_distributed_encoder_host_merge_mode(tok):
+    import jax
+    from tekken_tpu.parallel.encode import DistributedEncoder
+    from tekken_tpu.parallel.mesh import make_dp_mesh
+
+    n = min(8, len(jax.devices()))
+    mesh = make_dp_mesh(n)
+    enc = DistributedEncoder(tok, mesh=mesh, rows=2 * n, row_len=128,
+                             merge="host")
+    texts = [f"doc {i} it's 123 zzqq{i}" for i in range(2 * n)]
+    docs, total_bytes, total_tokens = enc.encode_batch(texts)
+    for t, g in zip(texts, docs):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+    assert total_bytes == sum(len(t.encode("utf-8")) for t in texts)
+    assert total_tokens == sum(len(d) for d in docs)
