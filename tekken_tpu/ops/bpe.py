@@ -176,12 +176,6 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
     B, P = rank.shape
     lane = jnp.arange(P, dtype=jnp.int32)[None, :]
 
-    def take(arr, i, fill):
-        ok = (i >= 0) & (i < P)
-        v = jnp.take_along_axis(arr, jnp.clip(i, 0, P - 1)[:, None],
-                                axis=1)[:, 0]
-        return jnp.where(ok, v, fill)
-
     def cond(state):
         return jnp.any(jnp.min(state[1], axis=1) < INF)
 
@@ -192,20 +186,26 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
         do = mrank < INF
         qb = q[:, None]
 
-        # neighbor segments (pre-shift indexing)
-        left = take(rank, q - 1, -1)                   # exists iff q >= 1
-        right2 = take(rank, q + 2, -1)                 # new right neighbor
+        # both neighbor segments in ONE take (gathers dominate round cost)
+        nb_idx = jnp.stack([jnp.clip(q - 1, 0, P - 1),
+                            jnp.clip(q + 2, 0, P - 1)], axis=1)
+        nb = jnp.take_along_axis(rank, nb_idx, axis=1)
+        left = jnp.where(q >= 1, nb[:, 0], -1)
+        right2 = jnp.where(q + 2 < P, nb[:, 1], -1)
 
         n_new = n_seg - do.astype(jnp.int32)
         right_ok = do & (q + 2 < n_seg)
         left_ok = do & (q >= 1)
 
-        new_pq = probe2(jnp.where(do, mrank, -1),
-                        jnp.where(right_ok, right2, -1),
-                        packed_table, seed1, seed2)
-        new_pl = probe2(jnp.where(left_ok, left, -1),
-                        jnp.where(do, mrank, -1),
-                        packed_table, seed1, seed2)
+        # both new pair probes in ONE stacked probe2 (2 row-gathers, not 4)
+        B2 = rank.shape[0]
+        pl = jnp.concatenate([jnp.where(left_ok, left, -1),
+                              jnp.where(do, mrank, -1)])
+        pr_in = jnp.concatenate([jnp.where(do, mrank, -1),
+                                 jnp.where(right_ok, right2, -1)])
+        both = probe2(pl, pr_in, packed_table, seed1, seed2)
+        new_pl = both[:B2]
+        new_pq = both[B2:]
 
         rank_sh = jnp.concatenate(
             [rank[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)

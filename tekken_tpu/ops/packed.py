@@ -45,8 +45,11 @@ def default_np_cap(n_bytes: int) -> int:
 
 
 def probe2(left, right, packed, seed1: int, seed2: int):
-    """Cuckoo probe: 2 row-gathers.  left/right int32[...]; packed (S, 4).
-    Returns merged rank or INF (absent / invalid query)."""
+    """Cuckoo probe.  left/right int32[...]; packed (S, 4).  Returns merged
+    rank or INF (absent / invalid query).  Both cuckoo slots ride ONE
+    row-gather op (slot vectors concatenated): at merge-round sizes gather
+    cost is op-latency-bound, not element-bound, so one op of 2n rows
+    beats two ops of n."""
     import jax.numpy as jnp
 
     size = packed.shape[0]
@@ -63,8 +66,11 @@ def probe2(left, right, packed, seed1: int, seed2: int):
         h = h ^ (h >> jnp.uint32(13))
         return (h & mask).astype(jnp.int32)
 
-    r1 = packed[slot(seed1)]
-    r2 = packed[slot(seed2)]
+    both = packed[jnp.concatenate([slot(seed1).reshape(-1),
+                                   slot(seed2).reshape(-1)])]
+    n = l.size
+    r1 = both[:n].reshape(left.shape + (4,))
+    r2 = both[n:].reshape(left.shape + (4,))
     hit1 = (r1[..., 0] == left) & (r1[..., 1] == right)
     hit2 = (r2[..., 0] == left) & (r2[..., 1] == right)
     out = jnp.where(hit1, r1[..., 2], jnp.where(hit2, r2[..., 2], INF))

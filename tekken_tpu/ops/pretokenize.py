@@ -300,35 +300,51 @@ def _char_boundaries_simple(cp, is_valid, pk):
     change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
     change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
 
-    p_is_w = _shift(is_w, -1, False)
-    p_is_nl = _shift(is_nl, -1, False)
-    p_is_p = _shift(is_p, -1, False)
-    p_is_space = _shift(is_space, -1, False)
-    p_change = _shift(change, -1, False)
-    p2_is_space = _shift(is_space, -2, False)
+    # pack every per-char predicate into ONE int32 word and shift the word
+    # once per offset: shifts are op-latency-bound, so 4 packed shifts
+    # replace ~12 predicate shifts
+    z = jnp.int32(0)
+    pk2 = (jnp.where(is_l, 1, z) | jnp.where(is_w, 4, z)
+           | jnp.where(is_p, 8, z) | jnp.where(is_nl, 16, z)
+           | jnp.where(is_space, 32, z) | jnp.where(change, 128, z)
+           | (fold.astype(jnp.int32) << 8))
+    m1 = _shift(pk2, -1, z)
+    m2 = _shift(pk2, -2, z)
+    q1 = _shift(pk2, 1, z)
+    q2 = _shift(pk2, 2, z)
+
+    p_is_w = (m1 & 4) != 0
+    p_is_nl = (m1 & 16) != 0
+    p_is_p = (m1 & 8) != 0
+    p_is_space = (m1 & 32) != 0
+    p_change = (m1 & 128) != 0
+    p2_is_space = (m2 & 32) != 0
 
     # contraction at a free length-1 apostrophe run (same as the general
     # path — already shift-only)
-    f1 = _shift(fold, 1, jnp.uint8(0))
-    f2 = _shift(fold, 2, jnp.uint8(0))
-    next_is_letter = _shift(is_l, 1, False)
-    has_l2 = _shift(is_l, 2, False) & ~_shift(change, 2, True)
+    f1 = (q1 >> 8).astype(jnp.uint8)
+    f2 = (q2 >> 8).astype(jnp.uint8)
+    next_is_letter = (q1 & 1) != 0
+    has_l2 = ((q2 & 1) != 0) & ((q2 & 128) == 0)
     p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
     one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
     two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
                  ((f1 == _F_L) & has_l2 & (f2 == _F_L))
     contraction = p_free_apos & next_is_letter & (one_letter | two_letter)
-    cons1 = contraction & one_letter
-    cons2 = contraction & two_letter
+    cons = (jnp.where(contraction & one_letter, 1, z)
+            | jnp.where(contraction & two_letter, 2, z))
+    cm2 = _shift(cons, -2, z)
+    cm3 = _shift(cons, -3, z)
 
     b_num = is_n & change
     absorbed = ((p_is_w & ~p_is_nl)
                 | (p_is_p & p_change & ~p2_is_space))
     b_letter_start = is_l & change & ~((idx > 0) & absorbed)
+    p_change1 = p_change                      # change at i-1
+    p_change2 = (m2 & 128) != 0               # change at i-2
     b_letter_cont = is_l & ~change & (
-        (_shift(change, -1, False) & _shift(cons1, -2, False))
-        | (_shift(change, -2, False) & ~_shift(change, -1, False)
-           & _shift(cons2, -3, False))
+        (p_change1 & ((cm2 & 1) != 0))
+        | (p_change2 & ~p_change1 & ((cm3 & 2) != 0))
     )
     b_punct = is_p & change & ~((idx > 0) & p_is_space)
     b_ws = is_w & ~(p_is_p & is_nl)
