@@ -34,6 +34,17 @@ struct Slot {
   int32_t kl, kr, val, pad;
 };
 
+enum : uint8_t { C_LETTER = 1, C_NUMBER = 2, C_WS = 4 };
+enum Cls { L, N, W, P };
+
+struct CharInfo {
+  Cls g;
+  bool nl;     // \r or \n
+  bool space;  // literal ' '
+  bool apos;   // '
+  uint8_t fold;
+};
+
 struct Engine {
   // packed cuckoo table: one 16-byte slot per entry (vocab.CuckooPairTable
   // layout) — a probe touches at most two cache lines.
@@ -49,6 +60,8 @@ struct Engine {
   uint32_t piece_basis = 0x811C9DC5u;
   std::vector<uint8_t> vocab_flat;
   std::vector<int32_t> vocab_off;    // n_ranks + 1
+  // ASCII fast-path class table: bytes ARE chars, one L1-resident lookup
+  CharInfo ascii_ci[128];
 };
 
 inline uint32_t fnv1a(const uint8_t* p, int32_t n, uint32_t basis) {
@@ -118,17 +131,6 @@ inline int decode_utf8(const uint8_t* p, const uint8_t* end, uint32_t* cp) {
 
 // ---------------------------------------------------------------- classes
 
-enum : uint8_t { C_LETTER = 1, C_NUMBER = 2, C_WS = 4 };
-enum Cls { L, N, W, P };
-
-struct CharInfo {
-  Cls g;
-  bool nl;     // \r or \n
-  bool space;  // literal ' '
-  bool apos;   // '
-  uint8_t fold;
-};
-
 inline CharInfo classify(const Engine& e, uint32_t cp) {
   uint8_t c = cp < e.cls.size() ? e.cls[cp] : 0;
   CharInfo ci;
@@ -153,28 +155,42 @@ struct SplitScratch {
   std::vector<int32_t> off;
 };
 
-static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
-                         std::vector<int32_t>& starts, SplitScratch& ss) {
-  starts.clear();
-  // decode chars
-  std::vector<CharInfo>& ci = ss.ci;
-  std::vector<int32_t>& off = ss.off;
-  ci.clear();
-  off.clear();
-  ci.reserve(len);
-  off.reserve(len);
-  const uint8_t* end = data + len;
-  for (const uint8_t* p = data; p < end;) {
-    uint32_t cp;
-    int n = decode_utf8(p, end, &cp);
-    ci.push_back(classify(e, cp));
-    off.push_back((int32_t)(p - data));
-    p += n;
+// char-index accessors: the walk below is shared by the UTF-8 path
+// (decoded CharInfo/offset vectors) and the ASCII fast path (bytes ARE
+// chars: a 128-entry table lookup per access, no vectors at all)
+struct VecCI {
+  const CharInfo* ci;
+  const int32_t* off_;
+  const CharInfo& operator[](int32_t k) const { return ci[k]; }
+  int32_t off(int32_t k) const { return off_[k]; }
+};
+
+struct AsciiCI {
+  const uint8_t* data;
+  const CharInfo* tab;  // Engine::ascii_ci, 128 entries
+  const CharInfo& operator[](int32_t k) const { return tab[data[k] & 0x7F]; }
+  int32_t off(int32_t k) const { return k; }
+};
+
+inline bool all_ascii(const uint8_t* p, int64_t n) {
+  uint64_t acc = 0;
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, p + i, 8);
+    acc |= w;
   }
-  int32_t nc = (int32_t)ci.size();
+  for (; i < n; i++) acc |= p[i];
+  return (acc & 0x8080808080808080ull) == 0;
+}
+
+template <class CIA>
+static void walk_pieces(CIA ci, int32_t nc, int32_t len,
+                        std::vector<int32_t>& starts) {
+  starts.clear();
   int32_t k = 0;
   while (k < nc) {
-    starts.push_back(off[k]);
+    starts.push_back(ci.off(k));
     const CharInfo& c = ci[k];
     if (c.g == N) {
       // \p{N}{1,3}
@@ -263,6 +279,30 @@ static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
   starts.push_back(len);
 }
 
+static void split_pieces(const Engine& e, const uint8_t* data, int32_t len,
+                         std::vector<int32_t>& starts, SplitScratch& ss) {
+  if (all_ascii(data, len)) {
+    walk_pieces(AsciiCI{data, e.ascii_ci}, len, len, starts);
+    return;
+  }
+  // decode chars
+  std::vector<CharInfo>& ci = ss.ci;
+  std::vector<int32_t>& off = ss.off;
+  ci.clear();
+  off.clear();
+  ci.reserve(len);
+  off.reserve(len);
+  const uint8_t* end = data + len;
+  for (const uint8_t* p = data; p < end;) {
+    uint32_t cp;
+    int n = decode_utf8(p, end, &cp);
+    ci.push_back(classify(e, cp));
+    off.push_back((int32_t)(p - data));
+    p += n;
+  }
+  walk_pieces(VecCI{ci.data(), off.data()}, (int32_t)ci.size(), len, starts);
+}
+
 // ---------------------------------------------------------------- merge
 //
 // Leftmost-lowest-rank merge over one piece; byte ranks are the identity for
@@ -345,6 +385,7 @@ void* tkn_create(const int32_t* packed, int64_t size, int32_t seed1,
     e->vocab_flat.assign(vocab_flat, vocab_flat + flat_len);
     e->vocab_off.assign(vocab_off, vocab_off + n_ranks + 1);
   }
+  for (uint32_t cp = 0; cp < 128; cp++) e->ascii_ci[cp] = classify(*e, cp);
   return e;
 }
 
@@ -414,6 +455,11 @@ int64_t tkn_encode_batch(void* h, const uint8_t* docs, const int64_t* offsets,
   std::atomic<int64_t> cursor{0};
   if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n_docs) n_threads = (int32_t)n_docs;
+  // the worker loop is compute-bound: more threads than cores only adds
+  // contention (measured: oversubscription cost ~20% on a 2-core host)
+  int32_t hw = (int32_t)std::thread::hardware_concurrency();
+  if (hw >= 1 && n_threads > hw) n_threads = hw;
 
   auto worker = [&]() {
     for (;;) {
