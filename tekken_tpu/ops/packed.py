@@ -154,11 +154,14 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # longer than 1 and no digit run longer than 3 (typical prose): all
     # run-level scans collapse to neighbor shifts (pretokenize.py
     # _char_boundaries_simple).
-    from .pretokenize import (ascii_packed_lookup, byte_boundaries_ascii,
+    from .pretokenize import (ascii_classes_arith, ascii_packed_lookup,
+                              byte_boundaries_ascii,
                               byte_boundaries_ascii_simple)
 
     def bnd_ascii(b):
-        pk = ascii_packed_lookup(b)
+        # classes via fused compares — the one-hot MXU table lookup only
+        # runs in the (rarer) non-simple branch
+        pk = ascii_classes_arith(b)
         is_w2 = (pk & 4) != 0            # padding byte 0 is not ws/digit
         is_n2 = (pk & 2) != 0
         ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
@@ -166,7 +169,8 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
                            & is_n2[:, 1:-2] & is_n2[:, :-3])
         return jax.lax.cond(
             ws_run2 | dig_run4,
-            lambda p: jax.vmap(byte_boundaries_ascii)(b, lengths, p),
+            lambda p: jax.vmap(byte_boundaries_ascii)(
+                b, lengths, ascii_packed_lookup(b)),
             lambda p: jax.vmap(byte_boundaries_ascii_simple)(b, lengths, p),
             pk)
 

@@ -381,6 +381,26 @@ def byte_boundaries_ascii(byts, length, pk):
     return _char_boundaries(byts.astype(jnp.int32), valid, pk=pk)
 
 
+def ascii_classes_arith(byts):
+    """pk-layout class+fold byte for ASCII input via fused compares — no
+    table, no one-hot matmul (ASCII \\s is exactly {9..13, 32}, letters
+    A-Za-z, digits 0-9; contraction folds are the 8 lowercased letters)."""
+    import jax.numpy as jnp
+
+    b = byts.astype(jnp.int32)
+    lo = b | 32
+    is_l = (lo >= 97) & (lo <= 122)
+    is_n = (b >= 48) & (b <= 57)
+    is_w = (b == 32) | ((b >= 9) & (b <= 13))
+    z = jnp.int32(0)
+    fold = z
+    for fid, ch in zip(range(1, 9), b"strevmld"):
+        fold = jnp.where(is_l & (lo == ch), fid, fold)
+    pk = (jnp.where(is_l, 1, z) | jnp.where(is_n, 2, z)
+          | jnp.where(is_w, 4, z) | (fold << 3))
+    return pk.astype(jnp.uint8)
+
+
 def byte_boundaries_ascii_simple(byts, length, pk):
     """Scan-free boundary flags for an all-ASCII row of a SIMPLE batch
     (no ws run > 1, no digit run > 3 — the caller checks batch-wide)."""

@@ -93,3 +93,17 @@ def test_packed_kernel_takes_simple_branch_exactly(tok=None):
         got = enc.encode_batch(batch)
         for t, g in zip(batch, got):
             assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_ascii_arith_classes_match_table():
+    """The arithmetic ASCII class/fold computation must equal the
+    regex-derived table for every byte < 128."""
+    import numpy as np
+
+    from tekken_tpu.ops.pretokenize import (ascii_classes_arith,
+                                            unicode_packed_table)
+
+    b = np.arange(128, dtype=np.uint8)
+    got = np.asarray(ascii_classes_arith(b))
+    want = unicode_packed_table()[:128]
+    assert np.array_equal(got, want), np.flatnonzero(got != want)
