@@ -1,24 +1,29 @@
 """Packed-piece device encode: the optimized production path (flat-first).
 
-Design (measured on TPU v5e; tools/profile_packed_stages.py and
-tools/bench_lookup_primitives.py):
-- Whole-piece detection runs in flat byte space: two segmented poly-hash
-  scans give every byte its piece's 31-bit signature gather-free; a
-  direct-mapped candidate probe (ONE row-gather) + one byte-table gather
-  verify exactly.  Pieces that ARE vocab tokens — the vast majority of
-  natural text — never touch the merge machinery.
-- Only vocab-miss pieces are scattered (one width-4 row scatter) into a
-  small (NP, P) matrix; per-round argmin is a lane reduction and per-round
-  cuckoo re-probes touch only NP rows.
-- All pair lookups probe cuckoo tables packed as (size, 4) int32 rows —
-  a 4-wide row gather costs the same as a scalar gather on TPU, and cuckoo
-  needs exactly two slots.
-- Single-byte pieces and whole-piece hits emit tokens elementwise.
+Round-2 design (measured on TPU v5e; tools/profile_packed_stages.py and
+tools/bench_row_gathers.py):
+- Boundary pass: scan-free closed-form rules for typical prose (no ws run
+  > 1, no digit run > 3), arithmetic ASCII classes, packed-predicate
+  shifts; piece geometry needs ONE reverse cummin (plen read at starts).
+- Whole-piece detection is WORD-EXACT: each WordDirectMap row stores the
+  token's full content dwords + rank*32+len, so detection is ONE row
+  gather + compares — no signature scans, no byte-verify gather.  Pieces
+  that ARE vocab tokens — the vast majority of natural text — never touch
+  the merge machinery.
+- Vocab misses land in P=8/P=32 length-bucketed merge matrices sharing
+  ONE N-source scatter (disjoint row ranges), tiered to the actual count;
+  short pieces merge in 7 statically-unrolled rounds.  At these sizes ops
+  are launch-latency-bound: probe2 fetches both cuckoo slots in one
+  gather, neighbor reads are one stacked take.
+- ``merge="host"`` alternative: the kernel records miss spans for the
+  native C++ engine to bulk-merge (no device rounds, no length limit) —
+  best on real PCIe/ICI hardware; the axon tunnel's readback cost keeps
+  device merging the default here.
 
-Capacity (static shapes): NP rows (default N/16; counts only vocab-miss
-pieces) of P = 32 lanes.  Pieces longer than P or beyond row capacity are
-flagged and returned for host fallback (scalar oracle), so parity is
-unconditional.
+Capacity (static shapes): NP rows (default N/8; counts only vocab-miss
+pieces).  Pieces longer than P_LANES are recorded as spans for host
+splicing; bucket overflow triggers an exact full-batch host fallback —
+parity is unconditional either way.
 """
 
 from __future__ import annotations
