@@ -172,11 +172,22 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
         dig_run4 = jnp.any(is_n2[:, 3:] & is_n2[:, 2:-1]
                            & is_n2[:, 1:-2] & is_n2[:, :-3])
+        from .pallas_boundary import boundary_simple_pallas, pallas_enabled
+
+        if pallas_enabled():
+            def simple(p):
+                # fused Pallas kernel: the whole simple rule set in ONE
+                # HBM sweep (ops/pallas_boundary.py)
+                return boundary_simple_pallas(b, lengths) != 0
+        else:
+            def simple(p):
+                return jax.vmap(byte_boundaries_ascii_simple)(b, lengths, p)
+
         return jax.lax.cond(
             ws_run2 | dig_run4,
             lambda p: jax.vmap(byte_boundaries_ascii)(
                 b, lengths, ascii_packed_lookup(b)),
-            lambda p: jax.vmap(byte_boundaries_ascii_simple)(b, lengths, p),
+            simple,
             pk)
 
     row_bound = jax.lax.cond(

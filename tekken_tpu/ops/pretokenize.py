@@ -275,11 +275,28 @@ def _char_boundaries_simple(cp, is_valid, pk):
       is absorbed by the punct token's ``[\\r\\n]*``).
 
     Differentially fuzzed against the oracle on qualifying inputs
-    (tests/test_simple_boundary_branch.py)."""
+    (tests/test_simple_boundary_branch.py).
+
+    Shape-generic over the LAST axis (rows are independent), so the same
+    code serves the 1D host path, the batched 2D XLA path, and the fused
+    Pallas kernel (ops/pallas_boundary.py)."""
+    import jax
     import jax.numpy as jnp
 
-    n = cp.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    n = cp.shape[-1]
+    if cp.ndim > 1:
+        # >= 2D iota: 1D iota is rejected inside Pallas TPU kernels
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * (cp.ndim - 1) + (n,), cp.ndim - 1)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+    def sh(arr, k, fill):
+        # value at idx+k along the last axis (static slice, not a gather)
+        pad = jnp.full(arr.shape[:-1] + (abs(k),), fill, dtype=arr.dtype)
+        if k > 0:
+            return jnp.concatenate([arr[..., k:], pad], axis=-1)
+        return jnp.concatenate([pad, arr[..., :k]], axis=-1)
 
     cp = jnp.where(is_valid, cp, 0)
     pk = jnp.where(is_valid, pk, 0)
@@ -297,8 +314,9 @@ def _char_boundaries_simple(cp, is_valid, pk):
     g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
                                                         jnp.where(is_p, 3,
                                                                   4))))
-    change = jnp.concatenate([jnp.ones(1, dtype=bool), g[1:] != g[:-1]])
-    change_next = jnp.concatenate([g[:-1] != g[1:], jnp.ones(1, dtype=bool)])
+    one = jnp.ones(g.shape[:-1] + (1,), dtype=bool)
+    change = jnp.concatenate([one, g[..., 1:] != g[..., :-1]], axis=-1)
+    change_next = jnp.concatenate([g[..., :-1] != g[..., 1:], one], axis=-1)
 
     # pack every per-char predicate into ONE int32 word and shift the word
     # once per offset: shifts are op-latency-bound, so 4 packed shifts
@@ -308,10 +326,10 @@ def _char_boundaries_simple(cp, is_valid, pk):
            | jnp.where(is_p, 8, z) | jnp.where(is_nl, 16, z)
            | jnp.where(is_space, 32, z) | jnp.where(change, 128, z)
            | (fold.astype(jnp.int32) << 8))
-    m1 = _shift(pk2, -1, z)
-    m2 = _shift(pk2, -2, z)
-    q1 = _shift(pk2, 1, z)
-    q2 = _shift(pk2, 2, z)
+    m1 = sh(pk2, -1, z)
+    m2 = sh(pk2, -2, z)
+    q1 = sh(pk2, 1, z)
+    q2 = sh(pk2, 2, z)
 
     p_is_w = (m1 & 4) != 0
     p_is_nl = (m1 & 16) != 0
@@ -333,8 +351,8 @@ def _char_boundaries_simple(cp, is_valid, pk):
     contraction = p_free_apos & next_is_letter & (one_letter | two_letter)
     cons = (jnp.where(contraction & one_letter, 1, z)
             | jnp.where(contraction & two_letter, 2, z))
-    cm2 = _shift(cons, -2, z)
-    cm3 = _shift(cons, -3, z)
+    cm2 = sh(cons, -2, z)
+    cm3 = sh(cons, -3, z)
 
     b_num = is_n & change
     absorbed = ((p_is_w & ~p_is_nl)
