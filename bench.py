@@ -39,7 +39,7 @@ def tpu_healthy(timeout_s: int | None = None) -> bool:
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return False
     if timeout_s is None:
-        timeout_s = int(os.environ.get("TEKKEN_PROBE_TIMEOUT_S", 150))
+        timeout_s = int(os.environ.get("TEKKEN_PROBE_TIMEOUT_S", 450))
     import time as _time
     code = ("import jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones(8)*2); print('ok')")

@@ -176,13 +176,27 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
     B, P = rank.shape
     lane = jnp.arange(P, dtype=jnp.int32)[None, :]
 
+    # min+argmin fused into ONE reduction: key = min(pr, CAP)*P' + lane.
+    # Real merged ranks are < 2^24 (vocab ranks; asserted at table build),
+    # INF clips to CAP (=> do=False), and ties break to the lowest lane —
+    # exactly the reference's leftmost-lowest-rank order.  Rounds are
+    # launch-latency-bound, so dropping the second reduction matters.
+    CAP = jnp.int32(1 << 24)
+    lane_bits = max(1, (P - 1).bit_length())
+
+    def min_lane(pr):
+        key = jnp.min((jnp.minimum(pr, CAP) << lane_bits) | lane, axis=1)
+        mrank = key >> lane_bits
+        q = key & ((1 << lane_bits) - 1)
+        return jnp.where(mrank >= CAP, INF, mrank), q
+
+    # (mrank, q) ride the loop state so the while cond re-uses the body's
+    # reduction instead of running its own min over pr every round
     def cond(state):
-        return jnp.any(jnp.min(state[1], axis=1) < INF)
+        return jnp.any(state[3] < INF)
 
     def body(state):
-        rank, pr, n_seg = state
-        mrank = jnp.min(pr, axis=1)
-        q = jnp.argmin(pr, axis=1).astype(jnp.int32)   # leftmost min
+        rank, pr, n_seg, mrank, q = state
         do = mrank < INF
         qb = q[:, None]
 
@@ -224,13 +238,16 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
                                                      new_pq[:, None],
                                                      pr_sh))),
                        pr)
-        return rank, pr, n_new
+        m2, q2 = min_lane(pr)
+        return rank, pr, n_new, m2, q2
 
+    m0, q0 = min_lane(pr)
     if fixed_rounds is not None:
-        state = (rank, pr, n_seg)
+        state = (rank, pr, n_seg, m0, q0)
         for _ in range(fixed_rounds):
             state = body(state)   # finished rows no-op via the do mask
-        rank, pr, n_seg = state
+        rank, pr, n_seg = state[:3]
     else:
-        rank, pr, n_seg = jax.lax.while_loop(cond, body, (rank, pr, n_seg))
+        rank, pr, n_seg = jax.lax.while_loop(
+            cond, body, (rank, pr, n_seg, m0, q0))[:3]
     return rank, n_seg

@@ -561,12 +561,23 @@ class Tekkenizer:
         beyond 24 bytes raises and the caller falls back to an exact
         slower engine."""
         if getattr(self, "_word_map", None) is None:
+            import os
+
             from .errors import InvalidConfigError
             from .vocab import WordDirectMap
-            try:
-                self._word_map = WordDirectMap.build(self._ranks)
-            except InvalidConfigError:
+
+            # 8-wide rows gather FASTER than 4-wide on v5e (243 vs 157
+            # M rows/s, CLAUDE.md round-2 measurements) and extend the
+            # fast path to 24-byte tokens, so wide is the default; set
+            # TEKKEN_TPU_WIDE_WORDS=0 for the narrow table.
+            if os.environ.get("TEKKEN_TPU_WIDE_WORDS", "1") != "0":
                 self._word_map = WordDirectMap.build(self._ranks, wide=True)
+            else:
+                try:
+                    self._word_map = WordDirectMap.build(self._ranks)
+                except InvalidConfigError:
+                    self._word_map = WordDirectMap.build(self._ranks,
+                                                         wide=True)
         return self._word_map
 
     @property

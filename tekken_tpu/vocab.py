@@ -262,6 +262,12 @@ class CuckooPairTable:
     @classmethod
     def build(cls, ranks: dict[bytes, int], load_factor: float = 0.45
               ) -> "CuckooPairTable":
+        # the device merge packs (rank << lane_bits | lane) into one int32
+        # reduction key (ops/bpe.py min_lane); 24-bit ranks keep that exact
+        if ranks and max(ranks.values()) >= (1 << 24):
+            from .errors import InvalidConfigError
+            raise InvalidConfigError(
+                "vocab rank >= 2^24 unsupported by the device merge kernel")
         pairs = _enumerate_pairs(ranks)
         packed, size, seed1, seed2 = _cuckoo_place(pairs, load_factor)
         return cls(packed=packed, size=size, seed1=seed1, seed2=seed2,
