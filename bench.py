@@ -159,84 +159,99 @@ def main():
     # np_cap counts vocab misses (~bytes/80 on this corpus) — N/16 leaves
     # a wide margin, asserted after warmup.
     B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
-    from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
-    enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 16)
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
-    # parity spot check on a small prefix batch
-    got = enc.encode_batch(docs[:2])
-    for d, g in zip(docs[:2], got):
-        want = encode_ranks(d, tok.ranks)
-        assert g == want, "parity failure in bench batch"
+    # --- device path, guarded: ANY device failure (compile, Mosaic,
+    # tunnel) degrades to the next variant; the JSON line always prints
+    # (VERDICT.md round-2 weak #7: an unguarded device call handed the
+    # driver rc=1 and no number at all). ---
+    bps = bps_dispatched = None
+    out = None
+    device_error = None
+    try:
+        from tekken_tpu.ops.packed import PackedEncoder, packed_encode_fn
+        enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 16)
 
-    import jax
-    import jax.numpy as jnp
-    buf, lengths = enc.pack(docs)
-    fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
-                          enc._wseed)   # device-merge kernel
-    tables = (enc._packed, enc._dense, enc._word_rows)
-    jbuf = jnp.asarray(buf)
-    jlen = jnp.asarray(lengths)
+        # parity spot check on a small prefix batch
+        got = enc.encode_batch(docs[:2])
+        for d, g in zip(docs[:2], got):
+            want = encode_ranks(d, tok.ranks)
+            assert g == want, "parity failure in bench batch"
 
-    # warmup / compile (int() readback = real synchronization; the axon
-    # tunnel's block_until_ready does not reliably block)
-    t2 = time.time()
-    out = fn(jbuf, jlen, *tables)
-    n0 = int(out[1])
-    assert int(out[4]) == 0, (
-        "bench batch overflows device merge capacity; the measured run "
-        "would be incomplete")
-    sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
-                     f"{jax.devices()[0].platform}; n_out {n0}\n")
-    # full parity of the device token stream, once, untimed
-    st = np.asarray(out[0])
-    got_ranks = st[st >= 0]
-    want = []
-    for d in docs:
-        want.extend(encode_ranks(d, tok.ranks))
-    assert got_ranks.tolist() == want, "device stream != oracle"
-    sys.stderr.write("[bench] full-batch parity of the device stream OK\n")
+        import jax
+        import jax.numpy as jnp
+        buf, lengths = enc.pack(docs)
+        fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
+                              enc._wseed)   # device-merge kernel
+        tables = (enc._packed, enc._dense, enc._word_rows)
+        jbuf = jnp.asarray(buf)
+        jlen = jnp.asarray(lengths)
 
-    # the measured loop: pure device encode, tokens device-resident (the
-    # production serving shape — tokens feed a model on device).  The
-    # headline repeats the kernel INSIDE one jit (fori_loop, per-iteration
-    # perturbed lengths so XLA cannot hoist the body) with one scalar
-    # readback: on real hardware dispatch costs ~50us, but the axon tunnel
-    # charges ~3-4ms per dispatch, which is an environment artifact, not
-    # kernel time.  The host-dispatched loop is reported in detail.
-    import functools as ft
-
-    from tekken_tpu.ops.packed import packed_encode_impl
-
-    iters = int(os.environ.get("BENCH_ITERS", 8))
-    reps = int(os.environ.get("BENCH_INNER_REPS", 16))
-    impl = ft.partial(packed_encode_impl, seed1=enc._seed1,
-                      seed2=enc._seed2, wseed=enc._wseed,
-                      np_cap=enc._np_cap)
-
-    @jax.jit
-    def run_inner(byts, lens, packed, dense, wrows):
-        def body(i, acc):
-            o = impl(byts, lens - (i & 1), packed, dense, wrows)
-            return acc + o[1]
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
-
-    t3 = time.time()
-    _ = int(run_inner(jbuf, jlen, *tables))  # compile + warm
-    sys.stderr.write(f"[bench] inner-loop compile+warm "
-                     f"{time.time()-t3:.1f}s\n")
-    t4 = time.time()
-    _ = int(run_inner(jbuf, jlen, *tables))
-    dt_in = (time.time() - t4) / reps
-    bps = batch_bytes / dt_in
-
-    t3 = time.time()
-    for _ in range(iters):
+        # warmup / compile (int() readback = real synchronization; the axon
+        # tunnel's block_until_ready does not reliably block)
+        t2 = time.time()
         out = fn(jbuf, jlen, *tables)
-    n0 = int(out[1])
-    dt = time.time() - t3
-    bps_dispatched = batch_bytes * iters / dt
+        n0 = int(out[1])
+        assert int(out[4]) == 0, (
+            "bench batch overflows device merge capacity; the measured run "
+            "would be incomplete")
+        sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
+                         f"{jax.devices()[0].platform}; n_out {n0}\n")
+        # full parity of the device token stream, once, untimed
+        st = np.asarray(out[0])
+        got_ranks = st[st >= 0]
+        want = []
+        for d in docs:
+            want.extend(encode_ranks(d, tok.ranks))
+        assert got_ranks.tolist() == want, "device stream != oracle"
+        sys.stderr.write("[bench] full-batch parity of the device stream "
+                         "OK\n")
+
+        # the measured loop: pure device encode, tokens device-resident
+        # (the production serving shape — tokens feed a model on device).
+        # The headline repeats the kernel INSIDE one jit (fori_loop,
+        # per-iteration perturbed lengths so XLA cannot hoist the body)
+        # with one scalar readback: on real hardware dispatch costs ~50us,
+        # but the axon tunnel charges ~3-4ms per dispatch, which is an
+        # environment artifact, not kernel time.  The host-dispatched loop
+        # is reported in detail.
+        import functools as ft
+
+        from tekken_tpu.ops.packed import packed_encode_impl
+
+        iters = int(os.environ.get("BENCH_ITERS", 8))
+        reps = int(os.environ.get("BENCH_INNER_REPS", 16))
+        impl = ft.partial(packed_encode_impl, seed1=enc._seed1,
+                          seed2=enc._seed2, wseed=enc._wseed,
+                          np_cap=enc._np_cap)
+
+        @jax.jit
+        def run_inner(byts, lens, packed, dense, wrows):
+            def body(i, acc):
+                o = impl(byts, lens - (i & 1), packed, dense, wrows)
+                return acc + o[1]
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        t3 = time.time()
+        _ = int(run_inner(jbuf, jlen, *tables))  # compile + warm
+        sys.stderr.write(f"[bench] inner-loop compile+warm "
+                         f"{time.time()-t3:.1f}s\n")
+        t4 = time.time()
+        _ = int(run_inner(jbuf, jlen, *tables))
+        dt_in = (time.time() - t4) / reps
+        bps = batch_bytes / dt_in
+
+        t3 = time.time()
+        for _ in range(iters):
+            out = fn(jbuf, jlen, *tables)
+        n0 = int(out[1])
+        dt = time.time() - t3
+        bps_dispatched = batch_bytes * iters / dt
+    except Exception as e:
+        device_error = f"{type(e).__name__}: {e}"
+        sys.stderr.write(f"[bench] DEVICE PATH FAILED — degrading to host "
+                         f"variants: {device_error}\n")
 
     # decode throughput: tokens -> text through the device gather path
     # (decode_batch: one device call for all non-special runs + host UTF-8)
@@ -244,12 +259,16 @@ def main():
     try:
         from tekken_tpu.special_tokens import SpecialTokenPolicy
         shift = tok.num_special_tokens()
-        tok_np = np.asarray(out[0])
-        ranks = tok_np[tok_np >= 0]
-        rows = (np.flatnonzero(tok_np >= 0) // R)
-        cut = np.searchsorted(rows, np.arange(B + 1))
-        id_lists = [(ranks[cut[i]:cut[i + 1]] + shift).tolist()
-                    for i in range(B)]
+        if out is not None:
+            tok_np = np.asarray(out[0])
+            ranks = tok_np[tok_np >= 0]
+            rows = (np.flatnonzero(tok_np >= 0) // R)
+            cut = np.searchsorted(rows, np.arange(B + 1))
+            id_lists = [(ranks[cut[i]:cut[i + 1]] + shift).tolist()
+                        for i in range(B)]
+        else:
+            id_lists = [[r + shift for r in encode_ranks(d, tok.ranks)]
+                        for d in docs]
         tok.decode_batch(id_lists[:2], SpecialTokenPolicy.IGNORE)  # warm
         d_iters = int(os.environ.get("BENCH_DECODE_ITERS", 4))
         t5 = time.time()
@@ -278,18 +297,37 @@ def main():
     except Exception as e:  # pragma: no cover
         sys.stderr.write(f"[bench] native engine unavailable: {e}\n")
 
+    # headline: device path if it survived, else the best host variant —
+    # the metric line ALWAYS prints, degraded runs say so in detail.
+    headline = bps
+    headline_variant = "device-packed"
+    if headline is None:
+        if native_bps is not None:
+            headline, headline_variant = native_bps, "native-host-fallback"
+        else:
+            t6 = time.time()
+            for d in docs[:8]:
+                encode_ranks(d, tok.ranks)
+            headline = sum(len(d.encode("utf-8")) for d in docs[:8]) / (
+                time.time() - t6)
+            headline_variant = "oracle-fallback"
+
     print(json.dumps({
         "metric": "encode_bytes_per_sec_per_chip",
-        "value": round(bps, 1),
+        "value": round(headline, 1),
         "unit": "bytes/s",
-        "vs_baseline": round(bps / TARGET, 4),
+        "vs_baseline": round(headline / TARGET, 4),
         "detail": {
-            "device_packed_path_bytes_per_sec": round(bps, 1),
-            "host_dispatched_loop_bytes_per_sec": round(bps_dispatched, 1),
+            "headline_variant": headline_variant,
+            "device_packed_path_bytes_per_sec": (
+                round(bps, 1) if bps else None),
+            "host_dispatched_loop_bytes_per_sec": (
+                round(bps_dispatched, 1) if bps_dispatched else None),
             "device_decode_bytes_per_sec": (
                 round(decode_bps, 1) if decode_bps else None),
             "native_host_engine_bytes_per_sec": (
                 round(native_bps, 1) if native_bps else None),
+            "device_error": device_error,
             "target_bytes_per_sec": TARGET,
             "platform": platform_note,
         },

@@ -75,7 +75,11 @@ class DeviceDecoder:
     def decode_stream(self, ranks: np.ndarray) -> bytes:
         """Engine ranks of any length -> concatenated bytes; streams in
         capacity-sized device calls (bytes concatenate freely, so chunking
-        at token granularity is exact)."""
+        at token granularity is exact).
+
+        Buffers are power-of-two BUCKETED (256..capacity), not padded to
+        the full capacity: a 10-token decode launches a 256-row kernel, not
+        a 64K-row one (jax.jit caches one executable per bucket shape)."""
         import jax.numpy as jnp
 
         ranks = np.asarray(ranks, dtype=np.int32)
@@ -85,7 +89,10 @@ class DeviceDecoder:
         parts = []
         for lo in range(0, ranks.size, self._cap):
             chunk = ranks[lo:lo + self._cap]
-            buf = np.zeros(self._cap, dtype=np.int32)
+            cap = 256
+            while cap < chunk.size:
+                cap <<= 1
+            buf = np.zeros(cap, dtype=np.int32)
             buf[:chunk.size] = chunk
             out, total = fn(jnp.asarray(buf), chunk.size, self._flat,
                             self._offsets)

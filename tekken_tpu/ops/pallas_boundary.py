@@ -10,7 +10,13 @@ HBM sweep instead of dozens.
 
 Rows are independent (pieces never cross documents), so blocks need no
 halo.  On the CPU backend the kernel runs in interpret mode (tests);
-``TEKKEN_TPU_PALLAS=0`` falls back to the plain XLA formulation.
+``TEKKEN_TPU_PALLAS=1`` opts in on device.
+
+DEFAULT OFF on device: round 2 shipped this default-on without a single
+real-TPU compile and the driver bench crashed with a Mosaic internal
+assert (``in_bounds_vreg.getType() == native_vreg_ty`` — BENCH_r02.json,
+VERDICT.md weak #1).  The kernel must pass tools/tpu_smoke.py on the live
+device before the default can flip back.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import os
 
 
 def pallas_enabled() -> bool:
-    return os.environ.get("TEKKEN_TPU_PALLAS", "1") != "0"
+    return os.environ.get("TEKKEN_TPU_PALLAS", "0") == "1"
 
 
 def _kernel(byts_ref, len_ref, out_ref):

@@ -56,6 +56,66 @@ def test_poisoned_packed_hard_fails_under_require_device(monkeypatch):
         tok.encode_batch(["hello"])
 
 
+def _poison_packed_call(monkeypatch):
+    """Poison encode_batch (NOT __init__): the jit compile happens at first
+    CALL, which is where round 2's real Mosaic failure surfaced
+    (VERDICT.md weak #2)."""
+    import tekken_tpu.ops.packed as packed
+
+    def boom(self, texts):
+        raise RuntimeError("poisoned at call time (jit compile)")
+
+    monkeypatch.setattr(packed.PackedEncoder, "encode_batch", boom)
+
+
+def test_call_time_poison_warns_and_falls_back(monkeypatch):
+    _poison_packed_call(monkeypatch)
+    monkeypatch.delenv("TEKKEN_TPU_REQUIRE_DEVICE", raising=False)
+    tok = build_synthetic_tokenizer(num_merges=50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = tok.encode_batch(["hello world"])
+    msgs = [str(x.message) for x in w]
+    assert any("packed-device" in m for m in msgs)
+    assert any("poisoned at call time" in m for m in msgs)
+    assert tok.engine_used == "host-oracle"
+    shift = tok.num_special_tokens()
+    assert out == [[r + shift
+                    for r in encode_ranks("hello world", tok.ranks)]]
+    # engine stays disabled; no re-warn, output still exact
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out2 = tok.encode_batch(["again"])
+    assert not any("packed-device" in str(x.message) for x in w2)
+    assert out2 == [[r + shift for r in encode_ranks("again", tok.ranks)]]
+
+
+def test_call_time_poison_hard_fails_under_require_device(monkeypatch):
+    _poison_packed_call(monkeypatch)
+    monkeypatch.setenv("TEKKEN_TPU_REQUIRE_DEVICE", "1")
+    tok = build_synthetic_tokenizer(num_merges=50)
+    with pytest.raises(TokenizersError):
+        tok.encode_batch(["hello"])
+
+
+def test_decoder_call_time_poison_falls_back(monkeypatch):
+    import tekken_tpu.ops.decode as decode
+    from tekken_tpu.special_tokens import SpecialTokenPolicy
+
+    def boom(self, ranks):
+        raise RuntimeError("poisoned decode_stream")
+
+    monkeypatch.setattr(decode.DeviceDecoder, "decode_stream", boom)
+    monkeypatch.delenv("TEKKEN_TPU_REQUIRE_DEVICE", raising=False)
+    tok = build_synthetic_tokenizer(num_merges=50)
+    ids = tok.encode("hello world", False, False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = tok.decode_batch([ids], SpecialTokenPolicy.IGNORE)
+    assert out == ["hello world"]
+    assert any("device-decode" in str(x.message) for x in w)
+
+
 def test_engine_used_reports_device_path():
     tok = build_synthetic_tokenizer(num_merges=50)
     assert tok.engine_used is None
