@@ -30,18 +30,21 @@ def pallas_enabled() -> bool:
 
 
 def _kernel(byts_ref, len_ref, out_ref):
+    """All int32 in/out: Mosaic's vreg-layout assert rejects uint8
+    arithmetic, uint8 casts, and bool concatenates at (8, n) block shapes
+    (bisected on v5e, round 3 — the BENCH_r02 crash)."""
     import jax
     import jax.numpy as jnp
 
     from .pretokenize import _char_boundaries_simple, ascii_classes_arith
 
-    b = byts_ref[...]                       # (RB, R) uint8
+    b = byts_ref[...]                       # (RB, R) int32
     L = len_ref[...]                        # (RB, 1) int32
     idx = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
     valid = idx < L
-    pk = ascii_classes_arith(b)
-    flags = _char_boundaries_simple(b.astype(jnp.int32), valid, pk)
-    out_ref[...] = flags.astype(jnp.int8)
+    pk = ascii_classes_arith(b, out_dtype=jnp.int32)
+    flags = _char_boundaries_simple(b, valid, pk)
+    out_ref[...] = flags.astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -55,17 +58,19 @@ def _boundary_fn(B: int, R: int, RB: int, interpret: bool):
         in_specs=[pl.BlockSpec((RB, R), lambda i: (i, 0)),
                   pl.BlockSpec((RB, 1), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((RB, R), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, R), jax.numpy.int8),
+        out_shape=jax.ShapeDtypeStruct((B, R), jax.numpy.int32),
         interpret=interpret,
     )
 
 
 def boundary_simple_pallas(byts, lengths):
-    """(B, R) uint8 + (B,) int32 -> (B, R) int8 piece-start flags (simple
+    """(B, R) uint8 + (B,) int32 -> (B, R) int32 piece-start flags (simple
     ASCII rule set), fused into one Pallas kernel."""
     import jax
+    import jax.numpy as jnp
 
     B, R = byts.shape
     RB = 8 if B % 8 == 0 else 1
     interpret = jax.default_backend() == "cpu"
-    return _boundary_fn(B, R, RB, interpret)(byts, lengths.reshape(B, 1))
+    return _boundary_fn(B, R, RB, interpret)(
+        byts.astype(jnp.int32), lengths.reshape(B, 1))

@@ -279,7 +279,12 @@ def _char_boundaries_simple(cp, is_valid, pk):
 
     Shape-generic over the LAST axis (rows are independent), so the same
     code serves the 1D host path, the batched 2D XLA path, and the fused
-    Pallas kernel (ops/pallas_boundary.py)."""
+    Pallas kernel (ops/pallas_boundary.py).
+
+    MOSAIC-SAFE: all arithmetic is int32 and no bool array is ever
+    concatenated — Mosaic's vreg layout assert fires on uint8 arithmetic
+    and bool concatenate at (8, n) block shapes (bisected on v5e, round 3;
+    the round-2 BENCH_r02 crash).  XLA compiles both forms identically."""
     import jax
     import jax.numpy as jnp
 
@@ -299,9 +304,9 @@ def _char_boundaries_simple(cp, is_valid, pk):
         return jnp.concatenate([pad, arr[..., :k]], axis=-1)
 
     cp = jnp.where(is_valid, cp, 0)
-    pk = jnp.where(is_valid, pk, 0)
-    cls = pk & jnp.uint8(7)
-    fold = (pk >> jnp.uint8(3)).astype(jnp.uint8)
+    pk = jnp.where(is_valid, pk.astype(jnp.int32), 0)
+    cls = pk & 7
+    fold = (pk >> 3) & 0x1F
 
     is_l = (cls & _LETTER) != 0
     is_n = (cls & _NUMBER) != 0
@@ -314,9 +319,11 @@ def _char_boundaries_simple(cp, is_valid, pk):
     g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
                                                         jnp.where(is_p, 3,
                                                                   4))))
-    one = jnp.ones(g.shape[:-1] + (1,), dtype=bool)
-    change = jnp.concatenate([one, g[..., 1:] != g[..., :-1]], axis=-1)
-    change_next = jnp.concatenate([g[..., :-1] != g[..., 1:], one], axis=-1)
+    onei = jnp.ones(g.shape[:-1] + (1,), dtype=jnp.int32)
+    change = jnp.concatenate(
+        [onei, (g[..., 1:] != g[..., :-1]).astype(jnp.int32)], axis=-1) != 0
+    change_next = jnp.concatenate(
+        [(g[..., :-1] != g[..., 1:]).astype(jnp.int32), onei], axis=-1) != 0
 
     # pack every per-char predicate into ONE int32 word and shift the word
     # once per offset: shifts are op-latency-bound, so 4 packed shifts
@@ -325,7 +332,7 @@ def _char_boundaries_simple(cp, is_valid, pk):
     pk2 = (jnp.where(is_l, 1, z) | jnp.where(is_w, 4, z)
            | jnp.where(is_p, 8, z) | jnp.where(is_nl, 16, z)
            | jnp.where(is_space, 32, z) | jnp.where(change, 128, z)
-           | (fold.astype(jnp.int32) << 8))
+           | (fold << 8))
     m1 = sh(pk2, -1, z)
     m2 = sh(pk2, -2, z)
     q1 = sh(pk2, 1, z)
@@ -340,8 +347,8 @@ def _char_boundaries_simple(cp, is_valid, pk):
 
     # contraction at a free length-1 apostrophe run (same as the general
     # path — already shift-only)
-    f1 = (q1 >> 8).astype(jnp.uint8)
-    f2 = (q2 >> 8).astype(jnp.uint8)
+    f1 = (q1 >> 8) & 0x1F
+    f2 = (q2 >> 8) & 0x1F
     next_is_letter = (q1 & 1) != 0
     has_l2 = ((q2 & 1) != 0) & ((q2 & 128) == 0)
     p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
@@ -399,10 +406,14 @@ def byte_boundaries_ascii(byts, length, pk):
     return _char_boundaries(byts.astype(jnp.int32), valid, pk=pk)
 
 
-def ascii_classes_arith(byts):
+def ascii_classes_arith(byts, out_dtype=None):
     """pk-layout class+fold byte for ASCII input via fused compares — no
     table, no one-hot matmul (ASCII \\s is exactly {9..13, 32}, letters
-    A-Za-z, digits 0-9; contraction folds are the 8 lowercased letters)."""
+    A-Za-z, digits 0-9; contraction folds are the 8 lowercased letters).
+
+    ``out_dtype``: default uint8; the Pallas boundary kernel passes int32
+    because Mosaic's vreg layout assert rejects uint8 casts at (8, n)
+    blocks (v5e, round 3)."""
     import jax.numpy as jnp
 
     b = byts.astype(jnp.int32)
@@ -416,7 +427,7 @@ def ascii_classes_arith(byts):
         fold = jnp.where(is_l & (lo == ch), fid, fold)
     pk = (jnp.where(is_l, 1, z) | jnp.where(is_n, 2, z)
           | jnp.where(is_w, 4, z) | (fold << 3))
-    return pk.astype(jnp.uint8)
+    return pk.astype(out_dtype if out_dtype is not None else jnp.uint8)
 
 
 def byte_boundaries_ascii_simple(byts, length, pk):
