@@ -19,8 +19,12 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax  # noqa: E402
 
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# ALWAYS force the cpu platform via jax.config: this image pins
+# JAX_PLATFORMS=axon in a way that survives env overrides, so trusting
+# the env var silently lands the demo on the (single-chip, tunneled) TPU
+# (CLAUDE.md gotcha).  Set TEKKEN_EXAMPLE_PLATFORM to override.
+jax.config.update("jax_platforms",
+                  os.environ.get("TEKKEN_EXAMPLE_PLATFORM", "cpu"))
 
 
 def main():

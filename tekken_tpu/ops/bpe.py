@@ -176,6 +176,17 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
     B, P = rank.shape
     lane = jnp.arange(P, dtype=jnp.int32)[None, :]
 
+    # The min_lane key below treats any rank >= 2^24 as ABSENT, so a pair
+    # table holding such ranks would silently drop merges.  The invariant
+    # is enforced where tables are built (vocab.CuckooPairTable.build);
+    # re-check it here for tables reaching this kernel by any other path
+    # (eager/test callers only — under jit the table is a tracer and the
+    # build-time guard is the active one; ADVICE r2).
+    if not isinstance(packed_table, jax.core.Tracer):
+        import numpy as _np
+        mx = int(_np.asarray(packed_table[:, 2]).max(initial=0))
+        assert mx < (1 << 24), f"pair-table rank {mx} >= 2^24 unsupported"
+
     # min+argmin fused into ONE reduction: key = min(pr, CAP)*P' + lane.
     # Real merged ranks are < 2^24 (vocab ranks; asserted at table build),
     # INF clips to CAP (=> do=False), and ties break to the lowest lane —
@@ -183,6 +194,10 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
     # launch-latency-bound, so dropping the second reduction matters.
     CAP = jnp.int32(1 << 24)
     lane_bits = max(1, (P - 1).bit_length())
+    # the fused key must fit int32: min(pr,CAP)<<lane_bits | lane uses
+    # 25+lane_bits bits, so P >= 64 would overflow into the sign bit and
+    # produce wrong merges (ADVICE r2) — current buckets are P=8/32
+    assert 25 + lane_bits <= 31, f"P={P} overflows the fused min+argmin key"
 
     def min_lane(pr):
         key = jnp.min((jnp.minimum(pr, CAP) << lane_bits) | lane, axis=1)

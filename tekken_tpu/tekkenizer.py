@@ -586,9 +586,17 @@ class Tekkenizer:
             # 8-wide rows gather FASTER than 4-wide on v5e (243 vs 157
             # M rows/s, CLAUDE.md round-2 measurements) and extend the
             # fast path to 24-byte tokens, so wide is the default; set
-            # TEKKEN_TPU_WIDE_WORDS=0 for the narrow table.
+            # TEKKEN_TPU_WIDE_WORDS=0 for the narrow table.  Either
+            # preference cascades to the other variant before giving up
+            # (a failed preferred build — e.g. no collision-free seed —
+            # should not force the host fallback if the other table
+            # builds; ADVICE r2).
             if os.environ.get("TEKKEN_TPU_WIDE_WORDS", "1") != "0":
-                self._word_map = WordDirectMap.build(self._ranks, wide=True)
+                try:
+                    self._word_map = WordDirectMap.build(self._ranks,
+                                                         wide=True)
+                except InvalidConfigError:
+                    self._word_map = WordDirectMap.build(self._ranks)
             else:
                 try:
                     self._word_map = WordDirectMap.build(self._ranks)

@@ -2,6 +2,7 @@
 audio framing semantics of src/audio.rs)."""
 
 import base64
+import os
 import math
 
 import numpy as np
@@ -232,3 +233,51 @@ def test_mel_filter_bank_validation():
         mel_filter_bank(1, 80, 0.0, 8000.0, 16000)
     with pytest.raises(InvalidConfigError):
         mel_filter_bank(201, 80, 9000.0, 8000.0, 16000)
+
+
+# --------------------------------------------------------------------- #
+# real-asset conformance: jfk.wav (reference: tests/test_audio.rs:6-52)
+# --------------------------------------------------------------------- #
+
+JFK_WAV = "/root/reference/tests/assets/jfk.wav"
+
+
+@pytest.mark.skipif(not os.path.exists(JFK_WAV),
+                    reason="reference jfk.wav asset not present")
+def test_jfk_wav_load_and_encode():
+    """The one real-world binary WAV the environment provides: pin sample
+    count, rate, duration, the i32::MAX int-scaling semantics, and the
+    AudioEncoder token count per the reference's frame math
+    (reference: tests/test_audio.rs:10-31, src/audio.rs:275-288,555-591).
+
+    Ground truth cross-checked against an independent parse (stdlib
+    ``wave``): mono, 16 kHz, 176,000 16-bit int frames, 11.0 s.
+    """
+    audio = Audio.from_file(JFK_WAV)
+    arr = np.asarray(audio.audio_array)
+    assert arr.shape == (176_000,)
+    assert audio.sampling_rate == 16_000
+    assert audio.duration() == pytest.approx(11.0)
+
+    # int samples scale by i32::MAX (reference: src/audio.rs:281-284), so
+    # 16-bit audio lands at ~1e-5 amplitude — NOT the usual 1/i16::MAX
+    assert arr.dtype == np.float32
+    peak = float(np.abs(arr).max())
+    assert 1e-6 < peak < 2e-5, peak
+    # the exact peak sample (16-bit value 25648 / i32::MAX, f32-rounded)
+    assert peak == pytest.approx(25648 / 2147483647, rel=1e-5)
+
+    # encoder frame math (reference: src/audio.rs:555-591): len % hop == 0
+    # -> signal_length = 176000/160 = 1100 frames; tokens/frame factor
+    # 16000/12.5/160 = 8 -> ceil(1100/8) = 138 audio tokens + BEGIN_AUDIO
+    cfg = AudioConfig(16_000, 12.5, AudioSpectrogramConfig(80, 160, 400),
+                      None)
+    from tekken_tpu.audio import AudioEncoder
+    enc = AudioEncoder(config=cfg, audio_token_id=1000,
+                       begin_audio_token_id=1001)
+    encoding = enc.encode(audio)
+    assert len(encoding.tokens) == 139
+    assert encoding.tokens[0] == 1001
+    assert set(encoding.tokens[1:]) == {1000}
+    # no chunking configured and len % hop == 0: pad is a no-op
+    assert len(np.asarray(encoding.audio.audio_array)) == 176_000

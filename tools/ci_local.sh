@@ -22,6 +22,12 @@ echo "== fuzz smoke =="
 python tools/fuzz_all_engines.py 5
 python tools/fuzz_pretokenize.py --smoke
 
+echo "== examples (executed, not just compiled) =="
+for ex in examples/*.py; do
+  echo "-- $ex"
+  python "$ex" >/dev/null
+done
+
 echo "== multichip dryrun =="
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
