@@ -152,84 +152,54 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     N = B * R
     NP = np_cap if np_cap is not None else max(64, N // 16)
 
-    # ASCII batches (the common case for English corpora; padding is 0)
-    # take a gather/scatter-free boundary pass — one batch-level cond, so
-    # mixed batches still get the full UTF-8 path.  A second nested cond
-    # picks the SCAN-FREE rule set when the batch has no whitespace run
-    # longer than 1 and no digit run longer than 3 (typical prose): all
-    # run-level scans collapse to neighbor shifts (pretokenize.py
-    # _char_boundaries_simple).
+    from .pallas_boundary import pallas_enabled
+    from .pallas_stage1 import stage1_fused
     from .pretokenize import (ascii_classes_arith, ascii_packed_lookup,
                               byte_boundaries_ascii,
                               byte_boundaries_ascii_simple)
-
-    def bnd_ascii(b):
-        # classes via fused compares — the one-hot MXU table lookup only
-        # runs in the (rarer) non-simple branch
-        pk = ascii_classes_arith(b)
-        is_w2 = (pk & 4) != 0            # padding byte 0 is not ws/digit
-        is_n2 = (pk & 2) != 0
-        ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
-        dig_run4 = jnp.any(is_n2[:, 3:] & is_n2[:, 2:-1]
-                           & is_n2[:, 1:-2] & is_n2[:, :-3])
-        from .pallas_boundary import boundary_simple_pallas, pallas_enabled
-
-        if pallas_enabled():
-            def simple(p):
-                # fused Pallas kernel: the whole simple rule set in ONE
-                # HBM sweep (ops/pallas_boundary.py)
-                return boundary_simple_pallas(b, lengths) != 0
-        else:
-            def simple(p):
-                return jax.vmap(byte_boundaries_ascii_simple)(b, lengths, p)
-
-        return jax.lax.cond(
-            ws_run2 | dig_run4,
-            lambda p: jax.vmap(byte_boundaries_ascii)(
-                b, lengths, ascii_packed_lookup(b)),
-            simple,
-            pk)
-
-    row_bound = jax.lax.cond(
-        jnp.all(byts < 0x80), bnd_ascii,
-        lambda b: jax.vmap(byte_boundaries)(b, lengths), byts)
-    boundary = row_bound.reshape(N)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = (idx % R) < lengths[idx // R]
     byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
 
-    # piece length AT ITS START byte: last_pos (first is_last >= i, ONE
-    # native reverse cummin — reverse=True beats the [::-1] scan [::-1]
-    # idiom 3x) minus idx.  Every consumer below reads piece geometry at
-    # start positions only, so no pstart cummax broadcast is needed.
-    boundary_next = jnp.concatenate([boundary[1:], jnp.ones(1, dtype=bool)])
-    is_last = (boundary_next | ~jnp.concatenate(
-        [valid[1:], jnp.zeros(1, dtype=bool)])) & valid
-    BIGN = jnp.int32(1 << 30)
-    last_pos = jax.lax.cummin(jnp.where(is_last, idx, BIGN), reverse=True)
-    is_pstart = boundary & valid
-    plen = jnp.where(is_pstart, last_pos - idx + 1, 0)
-
-    multi = is_pstart & (plen >= 2)
-    if _stage == 1:  # scans
-        return plen.sum() + last_pos.sum()
-
-    # --- whole-piece fast path, word-exact (reference engine semantics: a
-    # piece whose bytes are a vocab token encodes as that token before any
-    # merging).  At each piece START the piece's first 12/24 bytes are
-    # assembled into length-masked little-endian dwords via static-slice
-    # shifts; the WordDirectMap row gathered at their hash holds the
-    # candidate's FULL content words + length, so the compare alone is
-    # exact — no signature scans, no byte-verify gather, no piece-AND
-    # reduction (all three dominated the round-1 kernel). ---
-    hit_start = jnp.zeros(N, dtype=bool)
-    found = jnp.full(N, -1, jnp.int32)
     if wseed:
         Wc = word_rows.shape[1]            # 4 narrow / 8 wide (static)
         n_words = 3 if Wc == 4 else 6
         maxl = 12 if Wc == 4 else 24
+        wsize = word_rows.shape[0]
+    else:
+        n_words = 0
+        wsize = 1
 
+    # --- stage 1: boundary rules + piece geometry + word assembly +
+    # probe hash.  Three data-dependent variants behind nested batch
+    # conds: (a) simple ASCII (no ws run > 1, no digit run > 3 — typical
+    # prose) runs the FUSED Pallas kernel, one HBM sweep for the whole
+    # stage (ops/pallas_stage1.py; falls back to the scan-free XLA rules
+    # when Pallas is disabled); (b) general ASCII; (c) UTF-8.  All three
+    # produce bit-identical (plen, slot, content dwords). ---
+    def stage1_xla(row_bound):
+        """Geometry + word assembly + probe hash (XLA formulation) from
+        per-row boundary flags.  plen is the piece length AT ITS START
+        byte: last_pos (first is_last >= i, ONE native reverse cummin —
+        reverse=True beats the [::-1] scan [::-1] idiom 3x) minus idx;
+        every consumer reads piece geometry at start positions only."""
+        boundary = row_bound.reshape(N)
+        boundary_next = jnp.concatenate(
+            [boundary[1:], jnp.ones(1, dtype=bool)])
+        is_last = (boundary_next | ~jnp.concatenate(
+            [valid[1:], jnp.zeros(1, dtype=bool)])) & valid
+        BIGN = jnp.int32(1 << 30)
+        last_pos = jax.lax.cummin(jnp.where(is_last, idx, BIGN),
+                                  reverse=True)
+        plen = jnp.where(boundary & valid, last_pos - idx + 1, 0)
+        if not n_words:
+            return (plen,)
+
+        # word assembly: the piece's first 12/24 bytes as length-masked
+        # little-endian dwords via static-slice shifts (no scans, no
+        # gathers); dwords returned as int32 BIT PATTERNS to match the
+        # fused kernel (Mosaic is int32-only)
         bu = jnp.where(valid, byts.reshape(N), 0).astype(jnp.uint32)
 
         def sh(arr, k):
@@ -248,11 +218,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
             return jnp.where(m4 >= 4, jnp.uint32(0xFFFFFFFF),
                              (jnp.uint32(1) << shv) - jnp.uint32(1))
 
-        ws = [ (w if k == 0 else sh(w, 4 * k)) & msk(plen - 4 * k)
-               for k in range(n_words)]
-        if _stage == 2:  # + content words
-            return sum(x.astype(jnp.int32) for x in ws).sum()
-
+        ws = [sh(w, 4 * k) & msk(plen - 4 * k) for k in range(n_words)]
         h = ((ws[0] * jnp.uint32(0x9E3779B1))
              ^ (ws[1] * jnp.uint32(0x85EBCA77))
              ^ (ws[2] * jnp.uint32(0xC2B2AE3D))
@@ -261,14 +227,64 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         h = h ^ (h >> jnp.uint32(15))
         h = h * jnp.uint32(0xC2B2AE3D)
         h = h ^ (h >> jnp.uint32(13))
-        slot = (h & jnp.uint32(word_rows.shape[0] - 1)).astype(jnp.int32)
+        slot = (h & jnp.uint32(wsize - 1)).astype(jnp.int32)
+        ws_i = [jax.lax.bitcast_convert_type(x, jnp.int32) for x in ws]
+        return (plen, slot, *ws_i)
 
+    def br_utf8(b):
+        return stage1_xla(jax.vmap(byte_boundaries)(b, lengths))
+
+    def br_ascii(b):
+        # classes via fused compares — the one-hot MXU table lookup only
+        # runs in the (rarer) non-simple branch
+        pk = ascii_classes_arith(b)
+        is_w2 = (pk & 4) != 0            # padding byte 0 is not ws/digit
+        is_n2 = (pk & 2) != 0
+        ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
+        dig_run4 = jnp.any(is_n2[:, 3:] & is_n2[:, 2:-1]
+                           & is_n2[:, 1:-2] & is_n2[:, :-3])
+
+        def general(p):
+            return stage1_xla(jax.vmap(byte_boundaries_ascii)(
+                b, lengths, ascii_packed_lookup(b)))
+
+        if pallas_enabled():
+            def simple(p):
+                out = stage1_fused(b, lengths, n_words, wsize, wseed)
+                return tuple(x.reshape(N) for x in out)
+        else:
+            def simple(p):
+                return stage1_xla(jax.vmap(byte_boundaries_ascii_simple)(
+                    b, lengths, p))
+
+        return jax.lax.cond(ws_run2 | dig_run4, general, simple, pk)
+
+    s1 = jax.lax.cond(jnp.all(byts < 0x80), br_ascii, br_utf8, byts)
+    plen = s1[0]
+    is_pstart = plen > 0
+    multi = plen >= 2
+    if _stage == 1:  # scans / fused stage 1
+        return plen.sum()
+    if _stage == 2:  # + content words
+        return (sum(x.sum() for x in s1[2:]) + s1[1].sum()
+                if n_words else plen.sum())
+
+    # --- whole-piece fast path, word-exact (reference engine semantics: a
+    # piece whose bytes are a vocab token encodes as that token before any
+    # merging).  The WordDirectMap row gathered at the stage-1 hash slot
+    # holds the candidate's FULL content words + length, so the compare
+    # alone is exact — no signature scans, no byte-verify gather, no
+    # piece-AND reduction (all three dominated the round-1 kernel). ---
+    hit_start = jnp.zeros(N, dtype=bool)
+    found = jnp.full(N, -1, jnp.int32)
+    if n_words:
+        slot, ws = s1[1], s1[2:]
         row = word_rows[slot]              # the ONE whole-piece row gather
         meta = row[..., n_words]
         ok = (meta >= 0) & ((meta & 31) == plen)
         for k in range(n_words):
-            ok = ok & (row[..., k].astype(jnp.uint32) == ws[k])
-        hit_start = ok & multi & (plen <= maxl) & boundary
+            ok = ok & (row[..., k] == ws[k])
+        hit_start = ok & multi & (plen <= maxl)
         found = jnp.where(hit_start, meta >> 5, -1)
     if _stage == 3:  # + probe (word-exact, no separate verify)
         return hit_start.astype(jnp.int32).sum() + found.sum()

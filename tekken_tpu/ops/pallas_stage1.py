@@ -1,0 +1,150 @@
+"""Fused stage-1 Pallas kernel: boundary rules + piece geometry + word
+assembly + probe hash in ONE HBM sweep (simple-ASCII batches).
+
+Motivation (round-2 perf model, CLAUDE.md): at merge-batch sizes every
+XLA pass is launch-latency-bound (~0.05-0.15 ms per op), and stage 1 of
+the packed kernel is ~40 such passes (boundary rule shifts, the reverse
+cummin, the dword assembly shifts, the hash chain) — ~4 ms of the
+~10.5 ms per 256 KB.  This kernel evaluates ALL of it per row-block in
+VMEM/registers and writes the results once: plen (piece geometry), the
+word-probe hash slot, and the masked content dwords the caller compares
+against the gathered WordDirectMap row.
+
+Mosaic constraints honored (bisected on v5e, round 3): int32-only
+arithmetic (no uint8/uint32 casts), no bool concatenates, >=2D iota.
+The hash pipeline is run in int32 with ``lax.shift_right_logical`` and
+wrapping multiplies — bit-identical to the XLA uint32 formulation, so
+the fused and unfused paths produce the same slots and dwords.
+
+Rows are independent (pieces never cross documents): the reverse cummin
+of piece geometry is a row-local log-doubling min, and all shifts fill
+at the row edge.  Cross-row differences vs the flat XLA formulation are
+masked out downstream (bytes beyond plen are zeroed by the dword masks;
+non-start positions have plen == 0).
+
+Row-level parity with the XLA path is asserted by
+tests/test_pallas_stage1.py (interpret mode) and tools/tpu_smoke.py
+(live device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def _i32(c: int) -> int:
+    """Reinterpret a uint32 constant as int32 (two's complement)."""
+    c &= 0xFFFFFFFF
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
+_M1 = _i32(0x9E3779B1)
+_M2 = _i32(0x85EBCA77)
+_M3 = _i32(0xC2B2AE3D)
+_M4 = _i32(0x27D4EB2F)
+_MC = _i32(0xC2B2AE3D)
+
+
+def _sh(arr, k: int, fill):
+    """Value at lane idx+k along the last axis (static slice), row-local."""
+    import jax.numpy as jnp
+
+    if k == 0:
+        return arr
+    pad = jnp.full(arr.shape[:-1] + (abs(k),), fill, dtype=arr.dtype)
+    if k > 0:
+        return jnp.concatenate([arr[..., k:], pad], axis=-1)
+    return jnp.concatenate([pad, arr[..., :k]], axis=-1)
+
+
+def _kernel(byts_ref, len_ref, *out_refs, n_words: int, size_mask: int,
+            wseed: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .pretokenize import _char_boundaries_simple, ascii_classes_arith
+
+    b = byts_ref[...]                       # (RB, R) int32, ASCII (< 0x80)
+    L = len_ref[...]                        # (RB, 1) int32
+    R = b.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    valid = idx < L
+    pk = ascii_classes_arith(b, out_dtype=jnp.int32)
+    boundary = _char_boundaries_simple(b, valid, pk)  # bool, valid-masked
+
+    # piece geometry: last_pos[i] = min_{j >= i} (is_last[j] ? j : BIG)
+    # as a row-local log-doubling min (the reverse cummin of the XLA path)
+    BIG = jnp.int32(1 << 30)
+    nb = _sh(boundary.astype(jnp.int32), 1, 1)
+    nv = _sh(valid.astype(jnp.int32), 1, 0)
+    is_last = ((nb | (1 - nv)) != 0) & valid
+    last = jnp.where(is_last, idx, BIG)
+    k = 1
+    while k < R:
+        last = jnp.minimum(last, _sh(last, k, BIG))
+        k <<= 1
+    plen = jnp.where(boundary, last - idx + 1, 0)
+    out_refs[0][...] = plen
+
+    if n_words:
+        bu = jnp.where(valid, b, 0)
+        w = (bu | (_sh(bu, 1, 0) << 8) | (_sh(bu, 2, 0) << 16)
+             | (_sh(bu, 3, 0) << 24))
+
+        def msk(m):
+            # int32 mask of min(max(m,0),4) low bytes (-1 == all bytes)
+            m4 = jnp.clip(m, 0, 4)
+            shv = jnp.minimum(m4, 3) * 8
+            return jnp.where(m4 >= 4, jnp.int32(-1),
+                             (jnp.int32(1) << shv) - jnp.int32(1))
+
+        ws = [_sh(w, 4 * j, 0) & msk(plen - 4 * j) for j in range(n_words)]
+
+        lsr = jax.lax.shift_right_logical
+        h = ((ws[0] * jnp.int32(_M1)) ^ (ws[1] * jnp.int32(_M2))
+             ^ (ws[2] * jnp.int32(_M3)) ^ (plen * jnp.int32(_M4))
+             ^ jnp.int32(_i32(wseed)))
+        h = h ^ lsr(h, 15)
+        h = h * jnp.int32(_MC)
+        h = h ^ lsr(h, 13)
+        out_refs[1][...] = h & jnp.int32(size_mask)
+        for j in range(n_words):
+            out_refs[2 + j][...] = ws[j]
+
+
+@functools.lru_cache(maxsize=8)
+def _stage1_fn(B: int, R: int, RB: int, n_words: int, size_mask: int,
+               wseed: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n_out = 1 + (1 + n_words if n_words else 0)
+    return pl.pallas_call(
+        functools.partial(_kernel, n_words=n_words, size_mask=size_mask,
+                          wseed=wseed),
+        grid=(B // RB,),
+        in_specs=[pl.BlockSpec((RB, R), lambda i: (i, 0)),
+                  pl.BlockSpec((RB, 1), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((RB, R), lambda i: (i, 0))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((B, R), jnp.int32)] * n_out,
+        interpret=interpret,
+    )
+
+
+def stage1_fused(byts, lengths, n_words: int, word_size: int, wseed: int):
+    """(B, R) uint8 + (B,) int32 -> (plen, slot, ws...) each (B, R) int32.
+
+    ``n_words`` 3 (narrow) or 6 (wide); 0 disables the word outputs (no
+    word map) and returns just ``(plen,)``.  All outputs are bit-identical
+    to the XLA stage-1 formulation in ops/packed.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, R = byts.shape
+    RB = 8 if B % 8 == 0 else 1
+    interpret = jax.default_backend() == "cpu"
+    fn = _stage1_fn(B, R, RB, n_words, word_size - 1, wseed, interpret)
+    out = fn(byts.astype(jnp.int32), lengths.reshape(B, 1))
+    return tuple(out)

@@ -24,9 +24,19 @@ from .mesh import make_dp_mesh
 @dataclass
 class ScalingPoint:
     n_devices: int
-    bytes_per_sec: float
+    bytes_per_sec: float          # mean over samples
     total_bytes: int
     total_tokens: int
+    samples: list = field(default_factory=list)  # bytes/s per repeat
+
+    def spread(self) -> dict:
+        s = np.asarray(self.samples if self.samples
+                       else [self.bytes_per_sec])
+        return {"mean": round(float(s.mean()), 1),
+                "min": round(float(s.min()), 1),
+                "max": round(float(s.max()), 1),
+                "rel_spread": round(float((s.max() - s.min())
+                                          / max(s.mean(), 1e-9)), 3)}
 
 
 @dataclass
@@ -34,7 +44,7 @@ class ScalingReport:
     points: list = field(default_factory=list)
 
     def efficiency(self) -> float:
-        """bytes/s/device at max mesh vs single device."""
+        """bytes/s/device at max mesh vs single device (means)."""
         if len(self.points) < 2:
             return 1.0
         base = self.points[0]
@@ -47,7 +57,8 @@ class ScalingReport:
         return {
             "points": [
                 {"devices": p.n_devices,
-                 "bytes_per_sec": round(p.bytes_per_sec, 1)}
+                 "bytes_per_sec": round(p.bytes_per_sec, 1),
+                 **p.spread()}
                 for p in self.points
             ],
             "scaling_efficiency": round(self.efficiency(), 4),
@@ -60,11 +71,14 @@ def _sync(x) -> int:
 
 def measure_scaling(tokenizer, device_counts, rows_per_device: int = 16,
                     row_len: int = 1024, iters: int = 4,
-                    rng_seed: int = 0) -> ScalingReport:
+                    rng_seed: int = 0, repeats: int = 3) -> ScalingReport:
     """Measure distributed-encode throughput at each mesh size.
 
     The per-device workload is constant (weak scaling): ``rows_per_device``
-    documents of ``row_len`` bytes per device.
+    documents of ``row_len`` bytes per device.  Each point is sampled
+    ``repeats`` times (>= 3; single A/B samples flip-flopped in round 2 —
+    CLAUDE.md measurement warning) and reported as mean with min/max
+    spread.
     """
     import random
 
@@ -101,15 +115,20 @@ def measure_scaling(tokenizer, device_counts, rows_per_device: int = 16,
 
         out = enc.encode_step(buf, lengths)
         total_bytes = _sync(out[-2])  # warmup + compile
-        t0 = time.time()
-        for _ in range(iters):
-            out = enc.encode_step(buf, lengths)
-        total_tokens = _sync(out[-1])
-        dt = (time.time() - t0) / iters
+        samples = []
+        total_tokens = 0
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            for _ in range(iters):
+                out = enc.encode_step(buf, lengths)
+            total_tokens = _sync(out[-1])
+            dt = (time.time() - t0) / iters
+            samples.append(total_bytes / dt)
         report.points.append(ScalingPoint(
             n_devices=n,
-            bytes_per_sec=total_bytes / dt,
+            bytes_per_sec=float(np.mean(samples)),
             total_bytes=total_bytes,
             total_tokens=total_tokens,
+            samples=samples,
         ))
     return report

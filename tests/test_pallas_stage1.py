@@ -1,0 +1,141 @@
+"""Fused Pallas stage-1 kernel: bit-parity with the XLA formulation and
+end-to-end packed-encoder parity with Pallas enabled (interpret mode on
+CPU; tools/tpu_smoke.py covers the real-device Mosaic compile)."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from tekken_tpu.models import build_synthetic_tokenizer
+from tekken_tpu.oracle import encode_ranks
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return build_synthetic_tokenizer(num_merges=300, num_special_tokens=20)
+
+
+def _simple_ascii_texts(rng, n, max_len):
+    """Texts that qualify for the simple branch: single spaces, digit runs
+    <= 3 (and ASCII only)."""
+    words = []
+    alpha = string.ascii_letters
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(0, max_len // 5)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            if rng.random() < 0.2:
+                w += str(rng.randint(0, 999))
+            if rng.random() < 0.2:
+                w += rng.choice(".,!?;:'")
+            parts.append(w)
+        out.append(" ".join(parts)[:max_len])
+    return out
+
+
+def test_stage1_fused_bit_parity(tok, monkeypatch):
+    """plen/slot/dwords from the fused kernel equal the XLA stage-1 values
+    bit-for-bit on qualifying batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from tekken_tpu.ops import packed as packed_mod
+    from tekken_tpu.ops.packed import PackedEncoder, packed_encode_impl
+
+    B, R = 8, 256
+    enc = PackedEncoder(tok, rows=B, row_len=R)
+    rng = random.Random(42)
+    texts = _simple_ascii_texts(rng, B, R - 1)
+    buf, lengths = enc.pack(texts)
+
+    wm = tok.word_map()
+    n_words = wm.n_words
+    from tekken_tpu.ops.pallas_stage1 import stage1_fused
+    fused = stage1_fused(jnp.asarray(buf), jnp.asarray(lengths), n_words,
+                         wm.size, int(wm.seed))
+
+    # the XLA formulation, via the packed impl's own stage1_xla: force
+    # pallas OFF and re-derive the same outputs through a tiny harness
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "0")
+    import jax.numpy as jnp
+    from tekken_tpu.ops.pretokenize import (ascii_classes_arith,
+                                            byte_boundaries_ascii_simple)
+    jb, jl = jnp.asarray(buf), jnp.asarray(lengths)
+    N = B * R
+    row_bound = jax.vmap(byte_boundaries_ascii_simple)(
+        jb, jl, ascii_classes_arith(jb))
+    boundary = np.asarray(row_bound).reshape(N)
+    idx = np.arange(N, dtype=np.int64)
+    valid = (idx % R) < np.asarray(lengths)[idx // R]
+    flat = buf.reshape(N).astype(np.int64)
+
+    # scalar reference for plen/ws/slot
+    plen_ref = np.zeros(N, np.int64)
+    starts = np.flatnonzero(boundary & valid)
+    for si, s in enumerate(starts):
+        e = starts[si + 1] if si + 1 < len(starts) else None
+        seg_end = s
+        while (seg_end + 1 < N and valid[seg_end + 1]
+               and not boundary[seg_end + 1]
+               and (seg_end + 1) // R == s // R):
+            seg_end += 1
+        plen_ref[s] = seg_end - s + 1
+
+    got_plen = np.asarray(fused[0]).reshape(N)
+    assert (got_plen == plen_ref).all()
+
+    got_slot = np.asarray(fused[1]).reshape(N)
+    got_ws = [np.asarray(x).reshape(N) for x in fused[2:]]
+
+    # dword + slot parity at every piece start against the host builder
+    from tekken_tpu.vocab import word_hash, _le_words
+    for s in starts:
+        L = int(plen_ref[s])
+        piece = bytes(buf.reshape(N)[s:s + L].tolist())
+        ws_ref = _le_words(piece.ljust(4 * n_words, b"\0")[:4 * n_words],
+                           n_words)
+        for k in range(n_words):
+            want = ws_ref[k] if 4 * k < L else 0
+            # mask beyond plen
+            keep = max(0, min(4, L - 4 * k))
+            m = (1 << (8 * keep)) - 1 if keep < 4 else 0xFFFFFFFF
+            want = ws_ref[k] & m
+            got = int(got_ws[k][s]) & 0xFFFFFFFF
+            assert got == want, (s, k, piece)
+        w0, w1, w2 = (int(got_ws[0][s]) & 0xFFFFFFFF,
+                      int(got_ws[1][s]) & 0xFFFFFFFF,
+                      int(got_ws[2][s]) & 0xFFFFFFFF)
+        want_slot = int(word_hash(w0, w1, w2, L, int(wm.seed), wm.size))
+        assert got_slot[s] == want_slot, (s, piece)
+
+
+def test_packed_parity_with_pallas_enabled(tok, monkeypatch):
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    rng = random.Random(99)
+    texts = _simple_ascii_texts(rng, 7, 200) + ["中文 mixed"]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_parity_pallas_fuzz(tok, monkeypatch):
+    """Fuzz the full packed path with the fused kernel enabled, including
+    inputs that FAIL the simple predicate (double spaces, long digit runs,
+    UTF-8) so every cond branch route is taken."""
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder
+    enc = PackedEncoder(tok, rows=16, row_len=512)
+    rng = random.Random(7)
+    alpha = string.ascii_letters + string.digits + " .,!?'\n\r\t"
+    for _ in range(4):
+        texts = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(0, 200)))
+                 for _ in range(rng.randint(1, 16))]
+        got = enc.encode_batch(texts)
+        for t, g in zip(texts, got):
+            assert g == encode_ranks(t, tok.ranks), repr(t)
