@@ -182,8 +182,11 @@ def main():
         import jax
         import jax.numpy as jnp
         buf, lengths = enc.pack(docs)
+        from tekken_tpu.ops.packed import host_route
+        route = host_route(buf)   # static routing, as production would
+        sys.stderr.write(f"[bench] host route: {route}\n")
         fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
-                              enc._wseed)   # device-merge kernel
+                              enc._wseed, False, route)  # device-merge
         tables = (enc._packed, enc._dense, enc._word_rows)
         jbuf = jnp.asarray(buf)
         jlen = jnp.asarray(lengths)
@@ -224,7 +227,7 @@ def main():
         reps = int(os.environ.get("BENCH_INNER_REPS", 16))
         impl = ft.partial(packed_encode_impl, seed1=enc._seed1,
                           seed2=enc._seed2, wseed=enc._wseed,
-                          np_cap=enc._np_cap)
+                          np_cap=enc._np_cap, route=route)
 
         @jax.jit
         def run_inner(byts, lens, packed, dense, wrows):

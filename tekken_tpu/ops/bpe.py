@@ -179,12 +179,12 @@ def merge_rows_compact(rank, pr, n_seg, packed_table, seed1: int, seed2: int,
     # The min_lane key below treats any rank >= 2^24 as ABSENT, so a pair
     # table holding such ranks would silently drop merges.  The invariant
     # is enforced where tables are built (vocab.CuckooPairTable.build);
-    # re-check it here for tables reaching this kernel by any other path
-    # (eager/test callers only — under jit the table is a tracer and the
-    # build-time guard is the active one; ADVICE r2).
-    if not isinstance(packed_table, jax.core.Tracer):
-        import numpy as _np
-        mx = int(_np.asarray(packed_table[:, 2]).max(initial=0))
+    # re-check it here for tables reaching this kernel by any other path.
+    # numpy inputs only: under jit (argument OR closure capture) the table
+    # is traced and the build-time guard is the active one (ADVICE r2).
+    import numpy as _np
+    if isinstance(packed_table, _np.ndarray):
+        mx = int(packed_table[:, 2].max(initial=0))
         assert mx < (1 << 24), f"pair-table rank {mx} >= 2^24 unsupported"
 
     # min+argmin fused into ONE reduction: key = min(pr, CAP)*P' + lane.

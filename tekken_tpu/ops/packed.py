@@ -117,6 +117,7 @@ def _inv_u32(k: int) -> int:
 def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
                        seed1: int, seed2: int, wseed: int = 0,
                        np_cap: int | None = None, host_merge: bool = False,
+                       route: int | None = None,
                        _stage: int | None = None):
     """Encode a (B, R) document-row buffer — flat-first architecture.
 
@@ -234,6 +235,20 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     def br_utf8(b):
         return stage1_xla(jax.vmap(byte_boundaries)(b, lengths))
 
+    def br_general(b):
+        return stage1_xla(jax.vmap(byte_boundaries_ascii)(
+            b, lengths, ascii_packed_lookup(b)))
+
+    if pallas_enabled():
+        def br_simple(b, p=None):
+            out = stage1_fused(b, lengths, n_words, wsize, wseed)
+            return tuple(x.reshape(N) for x in out)
+    else:
+        def br_simple(b, p=None):
+            pk = ascii_classes_arith(b) if p is None else p
+            return stage1_xla(jax.vmap(byte_boundaries_ascii_simple)(
+                b, lengths, pk))
+
     def br_ascii(b):
         # classes via fused compares — the one-hot MXU table lookup only
         # runs in the (rarer) non-simple branch
@@ -243,23 +258,24 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         ws_run2 = jnp.any(is_w2[:, 1:] & is_w2[:, :-1])
         dig_run4 = jnp.any(is_n2[:, 3:] & is_n2[:, 2:-1]
                            & is_n2[:, 1:-2] & is_n2[:, :-3])
+        return jax.lax.cond(ws_run2 | dig_run4,
+                            lambda p: br_general(b),
+                            lambda p: br_simple(b, p), pk)
 
-        def general(p):
-            return stage1_xla(jax.vmap(byte_boundaries_ascii)(
-                b, lengths, ascii_packed_lookup(b)))
-
-        if pallas_enabled():
-            def simple(p):
-                out = stage1_fused(b, lengths, n_words, wsize, wseed)
-                return tuple(x.reshape(N) for x in out)
-        else:
-            def simple(p):
-                return stage1_xla(jax.vmap(byte_boundaries_ascii_simple)(
-                    b, lengths, p))
-
-        return jax.lax.cond(ws_run2 | dig_run4, general, simple, pk)
-
-    s1 = jax.lax.cond(jnp.all(byts < 0x80), br_ascii, br_utf8, byts)
+    # ``route``: a STATIC host-side routing decision (1 simple ASCII /
+    # 2 general ASCII / 3 UTF-8).  The host computes the same predicates
+    # in numpy at pack time for ~free; on device they cost ~0.9 ms per
+    # 256 KB — as much as the whole fused stage-1 kernel (measured v5e,
+    # round 3).  None keeps the device-side cond chain (in-jit callers
+    # that can't see the data, e.g. the distributed path).
+    if route == 1:
+        s1 = br_simple(byts)
+    elif route == 2:
+        s1 = br_general(byts)
+    elif route == 3:
+        s1 = br_utf8(byts)
+    else:
+        s1 = jax.lax.cond(jnp.all(byts < 0x80), br_ascii, br_utf8, byts)
     plen = s1[0]
     is_pstart = plen > 0
     multi = plen >= 2
@@ -388,8 +404,15 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # lax.cond picks the smallest static slice covering the actual count —
     # first-round dense-table probe, merge loop, and token un-scatter all
     # run tier-sized.  Lane contents are GATHERED from byte_rank at
-    # start+lane; no lane scatters exist. ---
+    # start+lane; no lane scatters exist.  With Pallas enabled each round
+    # is 2 dispatches (cuckoo gather + fused round kernel,
+    # ops/pallas_merge.py) instead of ~12. ---
     from .bpe import merge_rows_compact
+
+    if pallas_enabled():
+        from .pallas_merge import merge_rows_compact_fused as merge_rows
+    else:
+        merge_rows = merge_rows_compact
 
     def merge_tier(rows, P):
         pos = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -410,7 +433,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
             q_ok = (pos + 1 < n0[:, None]) & (r0 >= 0) & (right >= 0)
             pr0 = jnp.where(
                 q_ok, dense_tab[jnp.where(q_ok, r0 * 256 + right, 0)], INF)
-            r, n = merge_rows_compact(
+            r, n = merge_rows(
                 r0, pr0, n0, packed_table, seed1, seed2,
                 fixed_rounds=P - 1 if P <= P_SHORT else None)
             lane_ok = (pos < n[:, None]) & (s0[:, None] >= 0)
@@ -446,15 +469,31 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     return tok_flat, n_out, fb_start, fb_len, overflow
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
-                     host_merge: bool = False):
+                     host_merge: bool = False, route: int | None = None):
     import functools as ft
     import jax
 
     return jax.jit(ft.partial(packed_encode_impl, seed1=seed1, seed2=seed2,
                               wseed=wseed, np_cap=np_cap,
-                              host_merge=host_merge))
+                              host_merge=host_merge, route=route))
+
+
+def host_route(buf: np.ndarray) -> int:
+    """The stage-1 routing decision in numpy (BIT-IDENTICAL predicates to
+    the device cond chain — padding zeros are neither ws nor digit, so
+    whole-buffer checks match the device's): 1 simple ASCII / 2 general
+    ASCII / 3 UTF-8."""
+    if buf.size and int(buf.max()) >= 0x80:
+        return 3
+    is_w = (buf == 32) | ((buf >= 9) & (buf <= 13))
+    if (is_w[:, 1:] & is_w[:, :-1]).any():
+        return 2
+    is_n = (buf >= 48) & (buf <= 57)
+    if (is_n[:, 3:] & is_n[:, 2:-1] & is_n[:, 1:-2] & is_n[:, :-3]).any():
+        return 2
+    return 1
 
 
 def splice_host_merges(out, out_pos, flat, fb_start, fb_len, merge_fn,
@@ -562,7 +601,8 @@ class PackedEncoder:
 
         buf, lengths = self.pack(texts)
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._wseed, self._host_merge)
+                              self._wseed, self._host_merge,
+                              host_route(buf))
         tok, n_out, fb_start, fb_len, overflow = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)

@@ -312,3 +312,53 @@ def test_word_map_wide_to_narrow_cascade(monkeypatch):
     wm = tok.word_map()
     assert calls == [True, False]
     assert wm.rows.shape[1] == 4
+
+
+def test_host_route_values():
+    import numpy as np
+    from tekken_tpu.ops.packed import host_route
+
+    def pack(texts, R=128):
+        buf = np.zeros((len(texts), R), np.uint8)
+        for i, t in enumerate(texts):
+            d = t.encode()
+            buf[i, :len(d)] = np.frombuffer(d, np.uint8)
+        return buf
+
+    assert host_route(pack(["hello world 123"])) == 1
+    assert host_route(pack(["double  space"])) == 2
+    assert host_route(pack(["digits 123456 run"])) == 2
+    assert host_route(pack(["tab\tok"])) == 1     # single ws chars are fine
+    assert host_route(pack(["mixed 中文"])) == 3
+    assert host_route(pack([""])) == 1
+
+
+def test_packed_forced_routes_parity(tok):
+    """Forcing each static route on data that QUALIFIES for it matches the
+    oracle (the route picks the rule set; it must never change output)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tekken_tpu.ops.packed import (PackedEncoder, host_route,
+                                       packed_encode_fn)
+
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    cases = {
+        1: ["hello world", "it's a test 12 3", "", "a b c!"],
+        2: ["double  space", "run 12345 digits", "x   y"],
+        3: ["中文 mixed", "naïve café", "emoji 😀 ok"],
+    }
+    for route, texts in cases.items():
+        buf, lengths = enc.pack(texts)
+        assert host_route(buf) == route
+        fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
+                              enc._wseed, False, route)
+        out = fn(jnp.asarray(buf), jnp.asarray(lengths), enc._packed,
+                 enc._dense, enc._word_rows)
+        assert int(out[4]) == 0
+        st = np.asarray(out[0])
+        pos = np.flatnonzero(st >= 0)
+        rows = pos // 256
+        cut = np.searchsorted(rows, np.arange(len(texts) + 1))
+        for i, t in enumerate(texts):
+            assert st[pos[cut[i]:cut[i + 1]]].tolist() == \
+                encode_ranks(t, tok.ranks), (route, t)

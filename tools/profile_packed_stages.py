@@ -85,6 +85,10 @@ def main():
             return acc + rb.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 
+    from tekken_tpu.ops.packed import host_route
+    route = None if os.environ.get("PROF_DEVICE_ROUTE") else host_route(buf)
+    print(f"route={route}", flush=True)
+
     def make_stage(stage):
         @jax.jit
         def run(byts, lengths):
@@ -93,7 +97,7 @@ def main():
                 r = packed_encode_impl(
                     byts, l2, enc._packed, enc._dense, enc._word_rows,
                     enc._seed1, enc._seed2, wseed=enc._wseed,
-                    np_cap=enc._np_cap, _stage=stage)
+                    np_cap=enc._np_cap, route=route, _stage=stage)
                 if stage is None:
                     tok, n_out, fb_s, fb_l, overflow = r
                     r = (tok.sum() + n_out
