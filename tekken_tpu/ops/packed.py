@@ -268,6 +268,14 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # 256 KB — as much as the whole fused stage-1 kernel (measured v5e,
     # round 3).  None keeps the device-side cond chain (in-jit callers
     # that can't see the data, e.g. the distributed path).
+    #
+    # With Pallas DISABLED the static hint is deliberately ignored:
+    # interleaved A/B on v5e measured the inlined XLA stage-1 at
+    # 18.2 MB/s vs 29.4 MB/s for the same ops inside the cond branch —
+    # XLA's fusion/scheduling of the cond-free graph is pathologically
+    # worse, so the cond chain IS the fast XLA formulation.
+    if not pallas_enabled() and route == 1:
+        route = None
     if route == 1:
         s1 = br_simple(byts)
     elif route == 2:

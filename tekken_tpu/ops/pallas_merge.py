@@ -154,16 +154,22 @@ def _round_fn(B2: int, P: int, size_mask: int, seed1: int, seed2: int,
 
     lane_bits = max(1, (P - 1).bit_length())
     assert 25 + lane_bits <= 31, P
+    # Row-blocked grid: Mosaic pads every block's minor dim to 128 lanes,
+    # so a (B2, 8) block really occupies B2 x 128 lanes in VMEM — full
+    # arrays at grid=(1,) OOM'd vmem at tier 16384 (178 MB of 128 MB,
+    # measured).  512-row blocks keep each step ~3.5 MB incl. padding.
+    RB = min(B2, 512)
     shapes = [(B2, P), (B2, P), (B2, 1), (B2, 1), (B2, 1), (B2, 4), (B2, 4)]
+    blocks = [(RB, P), (RB, P), (RB, 1), (RB, 1), (RB, 1), (RB, 4), (RB, 4)]
     return pl.pallas_call(
         functools.partial(_round_kernel, P=P, lane_bits=lane_bits,
                           size_mask=size_mask, seed1=seed1, seed2=seed2),
-        grid=(1,),
-        in_specs=[pl.BlockSpec(s, lambda i: (0, 0))
-                  for s in shapes[:5]] + [
-            pl.BlockSpec((B2, 16), lambda i: (0, 0)),
-            pl.BlockSpec((B2, 4), lambda i: (0, 0))],
-        out_specs=[pl.BlockSpec(s, lambda i: (0, 0)) for s in shapes],
+        grid=(B2 // RB,),
+        in_specs=[pl.BlockSpec(b, lambda i: (i, 0))
+                  for b in blocks[:5]] + [
+            pl.BlockSpec((RB, 16), lambda i: (i, 0)),
+            pl.BlockSpec((RB, 4), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec(b, lambda i: (i, 0)) for b in blocks],
         out_shape=[jax.ShapeDtypeStruct(s, jnp.int32) for s in shapes],
         interpret=interpret,
     )

@@ -591,18 +591,25 @@ class Tekkenizer:
             # (a failed preferred build — e.g. no collision-free seed —
             # should not force the host fallback if the other table
             # builds; ADVICE r2).
+            # TEKKEN_TPU_WORD_SLOTS: slots per vocab entry (default 16).
+            # Smaller tables trade a little direct-map hit rate (lost
+            # slots only ever hold greedy-stable tokens — exactness is
+            # unconditional) for gather locality.
+            spe = int(os.environ.get("TEKKEN_TPU_WORD_SLOTS", "16"))
             if os.environ.get("TEKKEN_TPU_WIDE_WORDS", "1") != "0":
                 try:
-                    self._word_map = WordDirectMap.build(self._ranks,
-                                                         wide=True)
+                    self._word_map = WordDirectMap.build(
+                        self._ranks, wide=True, slots_per_entry=spe)
                 except InvalidConfigError:
-                    self._word_map = WordDirectMap.build(self._ranks)
+                    self._word_map = WordDirectMap.build(
+                        self._ranks, slots_per_entry=spe)
             else:
                 try:
-                    self._word_map = WordDirectMap.build(self._ranks)
+                    self._word_map = WordDirectMap.build(
+                        self._ranks, slots_per_entry=spe)
                 except InvalidConfigError:
-                    self._word_map = WordDirectMap.build(self._ranks,
-                                                         wide=True)
+                    self._word_map = WordDirectMap.build(
+                        self._ranks, wide=True, slots_per_entry=spe)
         return self._word_map
 
     @property
