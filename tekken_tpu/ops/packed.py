@@ -608,9 +608,13 @@ class PackedEncoder:
         from ..oracle import encode_ranks
 
         buf, lengths = self.pack(texts)
+        # NOTE: host_route(buf) static routing measured SLOWER than the
+        # device cond chain in both kernel modes (interleaved A/B, v5e:
+        # pallas 30.8 vs 32.8, xla 18.2 vs 29.4 MB/s) — XLA schedules the
+        # cond-wrapped pipeline better.  The route param stays available
+        # as an experimental knob; production uses the cond chain.
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._wseed, self._host_merge,
-                              host_route(buf))
+                              self._wseed, self._host_merge)
         tok, n_out, fb_start, fb_len, overflow = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)

@@ -139,11 +139,15 @@ def stage1_fused(byts, lengths, n_words: int, word_size: int, wseed: int):
     word map) and returns just ``(plen,)``.  All outputs are bit-identical
     to the XLA stage-1 formulation in ops/packed.py.
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
     B, R = byts.shape
-    RB = 8 if B % 8 == 0 else 1
+    RB = int(os.environ.get("TEKKEN_TPU_STAGE1_RB", "8"))
+    while B % RB:
+        RB >>= 1
     interpret = jax.default_backend() == "cpu"
     fn = _stage1_fn(B, R, RB, n_words, word_size - 1, wseed, interpret)
     out = fn(byts.astype(jnp.int32), lengths.reshape(B, 1))
