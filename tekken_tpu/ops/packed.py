@@ -317,6 +317,8 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     single = is_pstart & (plen == 1)
     tok_base = jnp.where(single, byte_rank,
                          jnp.where(hit_start, found, -1))
+    if _stage == 35:  # + token-base emission
+        return tok_base.sum()
 
     if host_merge:
         # --- hybrid mode: the device does boundaries + word probe + token
@@ -463,6 +465,8 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     tok_flat = bucket_branch(
         [max(64, NP8 // 16), max(64, NP8 // 4), NP8], P_SHORT, n_s,
         nseg0[:NP8], start0[:NP8], tok_base)
+    if _stage == 45:  # + short-bucket merge only
+        return tok_flat.sum()
     tok_flat = bucket_branch(
         [max(64, NP32 // 4), NP32], P_LANES, n_l,
         nseg0[NP8:], start0[NP8:], tok_flat)
