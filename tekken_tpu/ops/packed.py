@@ -333,22 +333,17 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         n_miss = jnp.sum(mp_mark.astype(jnp.int32))
         overflow = (n_miss > NP).astype(jnp.int32)
         tgt = jnp.where(mp_mark & (fb_id < NP), fb_id, NP)
-        if N <= (1 << 18) and R <= (1 << 13):
-            word = ((idx.astype(jnp.uint32) << jnp.uint32(14))
-                    | (plen.astype(jnp.uint32) << jnp.uint32(1))
-                    | jnp.uint32(1))
-            w = jnp.zeros(NP, jnp.uint32).at[tgt].set(word, mode="drop")
-            live = (w & jnp.uint32(1)) == jnp.uint32(1)
-            fb_start = jnp.where(live, (w >> jnp.uint32(14)).astype(
-                jnp.int32), -1)
-            fb_len = jnp.where(live, ((w >> jnp.uint32(1))
-                                      & jnp.uint32(0x1FFF)).astype(
-                jnp.int32), 0)
-        else:
-            fb_start = jnp.full(NP, -1, jnp.int32).at[tgt].set(
-                idx, mode="drop")
-            fb_len = jnp.zeros(NP, jnp.int32).at[tgt].set(
-                plen, mode="drop")
+        # ONE N-source scatter for any N/R: pack only (idx, live) — plen
+        # is re-read by a tiny NP-row gather from the flat plen array
+        # (plen at a piece start IS its length), so no bits are spent on
+        # it and the pack never overflows (idx < 2^30).
+        assert N < (1 << 30), N
+        word = (idx << 1) | 1
+        w = jnp.zeros(NP, jnp.int32).at[tgt].set(word, mode="drop")
+        live = (w & 1) == 1
+        start_r = w >> 1
+        fb_start = jnp.where(live, start_r, -1)
+        fb_len = jnp.where(live, plen[jnp.clip(start_r, 0, N - 1)], 0)
         n_out = jnp.sum((tok_base >= 0).astype(jnp.int32))
         if _stage in (4, 5):
             return fb_start.sum() + fb_len.sum() + n_out
@@ -382,30 +377,21 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     row_write_l = long_mark & (id_l < NP32)
     tgt_row = jnp.where(row_write_s, id_s,
                         jnp.where(row_write_l, NP8 + id_l, NPT))
-    if N <= (1 << 18) and R <= (1 << 13):
-        # (start, plen, fb) pack into 18+13+1 = 32 bits: ONE scatter pass
-        # over the N-sized source instead of two (start == idx at the
-        # piece-start rows the scatter selects)
-        word = ((idx.astype(jnp.uint32) << jnp.uint32(14))
-                | (plen.astype(jnp.uint32) << jnp.uint32(1))
-                | fb_piece.astype(jnp.uint32))
-        w = jnp.zeros(NPT, jnp.uint32).at[tgt_row].set(word, mode="drop")
-        start_r = (w >> jnp.uint32(14)).astype(jnp.int32)
-        plen_r = ((w >> jnp.uint32(1)) & jnp.uint32(0x1FFF)).astype(jnp.int32)
-        fb_r = (w & jnp.uint32(1)) == jnp.uint32(1)
-        nseg0 = jnp.where(fb_r, 0, plen_r)
-        fb_start = jnp.where(fb_r, start_r, -1)
-        fb_len = jnp.where(fb_r, plen_r, 0)
-        start0 = jnp.where(~fb_r & (plen_r > 0), start_r, -1)
-    else:
-        start0 = jnp.full(NPT, -1, jnp.int32).at[tgt_row].set(
-            idx, mode="drop")
-        sl = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
-            jnp.where(fb_piece, -plen, plen), mode="drop")
-        nseg0 = jnp.maximum(sl, 0)
-        fb_start = jnp.where(sl < 0, start0, -1)
-        fb_len = jnp.where(sl < 0, -sl, 0)
-        start0 = jnp.where(sl > 0, start0, -1)
+    # (start, fb, live) pack into ONE N-source scatter pass for any N/R:
+    # plen is re-read by a tiny NPT-row gather from the flat plen array
+    # (plen at a piece start IS its length), so no bits are spent on it
+    # and the pack never overflows (idx < 2^29).
+    assert N < (1 << 29), N
+    word = (idx << 2) | (fb_piece.astype(jnp.int32) << 1) | 1
+    w = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(word, mode="drop")
+    live = (w & 1) == 1
+    start_r = w >> 2
+    fb_r = live & ((w & 2) != 0)
+    plen_r = jnp.where(live, plen[jnp.clip(start_r, 0, N - 1)], 0)
+    nseg0 = jnp.where(fb_r, 0, plen_r)
+    fb_start = jnp.where(fb_r, start_r, -1)
+    fb_len = jnp.where(fb_r, plen_r, 0)
+    start0 = jnp.where(live & ~fb_r, start_r, -1)
     if _stage == 4:  # + matrix scatter
         return (start0.sum() + nseg0.sum() + fb_start.sum() + fb_len.sum())
 
