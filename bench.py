@@ -182,8 +182,9 @@ def main():
         import jax
         import jax.numpy as jnp
         buf, lengths = enc.pack(docs)
-        route = None   # static routing measured slower than the device
-        # cond chain in both kernel modes (see ops/packed.py encode_batch)
+        from tekken_tpu.ops.packed import host_route
+        route = host_route(buf)   # static routing: +44% at B>=512 vs the
+        # device cond chain (see ops/packed.py encode_batch)
         fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
                               enc._wseed, False, route)  # device-merge
         tables = (enc._packed, enc._dense, enc._word_rows)

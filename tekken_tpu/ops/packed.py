@@ -1,20 +1,31 @@
-"""Packed-piece device encode: the optimized production path (flat-first).
+"""Packed-piece device encode: the optimized production path.
 
-Round-2 design (measured on TPU v5e; tools/profile_packed_stages.py and
-tools/bench_row_gathers.py):
-- Boundary pass: scan-free closed-form rules for typical prose (no ws run
-  > 1, no digit run > 3), arithmetic ASCII classes, packed-predicate
-  shifts; piece geometry needs ONE reverse cummin (plen read at starts).
+Round-3 design (measured on TPU v5e; tools/profile_packed_stages.py,
+tools/bench_scatter_scaling.py).  The governing constraint: every
+random-access op (gather/scatter) runs at ~85-200 M rows/s regardless of
+width, so throughput is set by RANDOM-ACCESS ROWS PER BYTE:
+- Statically-routed simple-ASCII batches (typical prose; the host checks
+  the route predicates in numpy for free) take the PIECE-COMPACT
+  pipeline (_compact_encode): the stage-1 Pallas kernel evaluates the
+  boundary rules, piece geometry, content dwords, probe hash AND a
+  binary-gap compaction network in one HBM sweep, emitting per-row
+  left-packed piece records — so the word probe, token emission, and
+  merge-bucket build all run at piece granularity (~N/5.5 rows), not
+  byte granularity.
 - Whole-piece detection is WORD-EXACT: each WordDirectMap row stores the
   token's full content dwords + rank*32+len, so detection is ONE row
   gather + compares — no signature scans, no byte-verify gather.  Pieces
   that ARE vocab tokens — the vast majority of natural text — never touch
   the merge machinery.
-- Vocab misses land in P=8/P=32 length-bucketed merge matrices sharing
-  ONE N-source scatter (disjoint row ranges), tiered to the actual count;
-  short pieces merge in 7 statically-unrolled rounds.  At these sizes ops
-  are launch-latency-bound: probe2 fetches both cuckoo slots in one
-  gather, neighbor reads are one stacked take.
+- Vocab misses land in P=4/P=8/P=32 length-bucketed merge matrices
+  sharing ONE scatter (disjoint row ranges), tiered to the actual count;
+  empty buckets are skipped outright (bench-corpus misses are 100%
+  2-3 bytes, so only the 3-round P=4 bucket runs).  probe2 fetches both
+  cuckoo slots in one gather; with Pallas each round is 2 dispatches
+  (ops/pallas_merge.py).
+- General-ASCII / UTF-8 batches (and in-jit callers that cannot see the
+  data, e.g. the distributed path) keep the flat byte-granular pipeline
+  behind device conds.
 - ``merge="host"`` alternative: the kernel records miss spans for the
   native C++ engine to bulk-merge (no device rounds, no length limit) —
   best on real PCIe/ICI hardware; the axon tunnel's readback cost keeps
@@ -158,6 +169,14 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     from .pretokenize import (ascii_classes_arith, ascii_packed_lookup,
                               byte_boundaries_ascii,
                               byte_boundaries_ascii_simple)
+
+    if route == 1 and pallas_enabled():
+        # statically-routed simple-ASCII batches take the PIECE-COMPACT
+        # pipeline: every random-access op downstream of stage 1 runs at
+        # piece granularity (~N/5.5 rows) instead of byte granularity
+        return _compact_encode(byts, lengths, packed_table, dense_tab,
+                               word_rows, seed1, seed2, wseed, NP,
+                               host_merge, _stage)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = (idx % R) < lengths[idx // R]
@@ -350,33 +369,40 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         return tok_base, n_out, fb_start, fb_len, overflow
 
     # --- active pieces (vocab misses) get a merge matrix, SPLIT BY PIECE
-    # LENGTH: a P=8 bucket (most misses — the merge while-loop finishes in
-    # <= 7 rounds on 4x-narrower rows) and a P=32 bucket for rare long
-    # misses.  Both buckets share the ONE N-source scatter via disjoint
-    # row ranges, so the split costs only a second small cumsum.  Round
-    # count was the dominant kernel cost before the split (a single
-    # 32-byte piece held every short piece hostage for ~31 rounds). ---
+    # LENGTH: a P=4 bucket (short misses dominate — 3 unrolled rounds),
+    # a P=8 bucket (7 rounds) and a P=32 bucket for rare long misses.
+    # All buckets share the ONE N-source scatter via disjoint row ranges,
+    # so the split costs only small extra cumsums.  Round count was the
+    # dominant kernel cost before the split (a single 32-byte piece held
+    # every short piece hostage for ~31 rounds). ---
     mp_mark = multi & ~hit_start
-    short_mark = mp_mark & (plen <= P_SHORT)
+    tiny_mark = mp_mark & (plen <= 4)
+    short_mark = mp_mark & (plen > 4) & (plen <= P_SHORT)
     long_mark = mp_mark & (plen > P_SHORT)
+    id_t = jnp.cumsum(tiny_mark.astype(jnp.int32)) - 1
     id_s = jnp.cumsum(short_mark.astype(jnp.int32)) - 1
     id_l = jnp.cumsum(long_mark.astype(jnp.int32)) - 1
-    NP8 = NP
+    NP4 = NP
+    NP8 = max(64, NP // 2)
     NP32 = max(64, NP // 8)   # long misses are rare; overflow => host
-    NPT = NP8 + NP32
+    NPT = NP4 + NP8 + NP32
+    n_t = jnp.sum(tiny_mark.astype(jnp.int32))
     n_s = jnp.sum(short_mark.astype(jnp.int32))
     n_l = jnp.sum(long_mark.astype(jnp.int32))
     # capacity overflow => the host re-encodes the whole batch (exact)
-    overflow = ((n_s > NP8) | (n_l > NP32)).astype(jnp.int32)
+    overflow = ((n_t > NP4) | (n_s > NP8) | (n_l > NP32)).astype(jnp.int32)
 
     # oversize pieces (> P_LANES lanes) own a LONG row but contribute no
     # lanes: the host splices oracle results at their recorded spans
     fb_piece = long_mark & (plen > P_LANES)
 
+    row_write_t = tiny_mark & (id_t < NP4)
     row_write_s = short_mark & (id_s < NP8)
     row_write_l = long_mark & (id_l < NP32)
-    tgt_row = jnp.where(row_write_s, id_s,
-                        jnp.where(row_write_l, NP8 + id_l, NPT))
+    tgt_row = jnp.where(row_write_t, id_t,
+                        jnp.where(row_write_s, NP4 + id_s,
+                                  jnp.where(row_write_l,
+                                            NP4 + NP8 + id_l, NPT)))
     # (start, fb, live) pack into ONE N-source scatter pass for any N/R:
     # plen is re-read by a tiny NPT-row gather from the flat plen array
     # (plen at a piece start IS its length), so no bits are spent on it
@@ -395,15 +421,49 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     if _stage == 4:  # + matrix scatter
         return (start0.sum() + nseg0.sum() + fb_start.sum() + fb_len.sum())
 
-    # --- merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py)
-    # per bucket, each tiered: cumsum ids are front-compacted, so a
-    # lax.cond picks the smallest static slice covering the actual count —
-    # first-round dense-table probe, merge loop, and token un-scatter all
-    # run tier-sized.  Lane contents are GATHERED from byte_rank at
-    # start+lane; no lane scatters exist.  With Pallas enabled each round
-    # is 2 dispatches (cuckoo gather + fused round kernel,
-    # ops/pallas_merge.py) instead of ~12. ---
+    # --- merge rounds + lane un-scatter (shared helper) ---
+    tok_flat = _merge_buckets(
+        tok_base, byte_rank, nseg0, start0, (n_t, n_s, n_l),
+        (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
+    if _stage in (45, 5):
+        return tok_flat
+
+    # no device compaction: tok_flat[i] >= 0 IS the token at byte i (its
+    # index is its position).  The host's flatnonzero is a trivial linear
+    # pass, while the device scatters it replaces cost two N-source
+    # scatter passes — and the readback halves.
+    n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
+    return tok_flat, n_out, fb_start, fb_len, overflow
+
+
+def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
+                   caps, packed_table, dense_tab,
+                   seed1: int, seed2: int, _stage=None):
+    """Merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py)
+    per length bucket, each tiered: cumsum ids are front-compacted, so a
+    lax.cond picks the smallest static slice covering the actual count —
+    first-round dense-table probe, merge loop, and token un-scatter all
+    run tier-sized, and an EMPTY bucket is skipped outright (one cond).
+    Lane contents are GATHERED from byte_rank at start+lane; no lane
+    scatters exist.  With Pallas enabled each round is 2 dispatches
+    (cuckoo gather + fused round kernel, ops/pallas_merge.py) instead of
+    ~12.
+
+    ``counts``/``caps``: per-bucket piece counts and row capacities for
+    the P=4 / P=8 / P=32 buckets laid out consecutively in nseg0/start0.
+    The P=4 bucket exists because short misses dominate real corpora
+    (bench corpus: 100% of misses are 2-3 bytes) and its unrolled merge
+    is 3 rounds, not 7.
+
+    With ``_stage`` set (45 = tiny+short buckets / 5 = all) returns a
+    checksum scalar; otherwise the flat token stream."""
+    import jax
+    import jax.numpy as jnp
+
     from .bpe import merge_rows_compact
+    from .pallas_boundary import pallas_enabled
+
+    N = tok_base.shape[0]
 
     if pallas_enabled():
         from .pallas_merge import merge_rows_compact_fused as merge_rows
@@ -444,25 +504,192 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
             branch = (lambda small, big, rows: lambda args: jax.lax.cond(
                 count <= rows, small, big, args))(
                     merge_tier(rows, P), branch, rows)
-        return branch((n0, s0, tok))
+        # empty bucket: skip every dispatch (real corpora often fill only
+        # one bucket — e.g. the bench corpus misses are all 2-3 bytes)
+        return jax.lax.cond(count == 0, lambda args: args[2], branch,
+                            (n0, s0, tok))
 
+    n_t, n_s, n_l = counts
+    NP4, NP8, NP32 = caps
     # tier counts trade compile time (each tier instantiates the merge
-    # while-loop) against wasted rows; long misses are rare, so 2 tiers
+    # loop) against wasted rows
     tok_flat = bucket_branch(
-        [max(64, NP8 // 16), max(64, NP8 // 4), NP8], P_SHORT, n_s,
-        nseg0[:NP8], start0[:NP8], tok_base)
-    if _stage == 45:  # + short-bucket merge only
+        [max(64, NP4 // 16), max(64, NP4 // 4), NP4], 4, n_t,
+        nseg0[:NP4], start0[:NP4], tok_base)
+    tok_flat = bucket_branch(
+        [max(64, NP8 // 4), NP8], P_SHORT, n_s,
+        nseg0[NP4:NP4 + NP8], start0[NP4:NP4 + NP8], tok_flat)
+    if _stage == 45:  # + tiny+short bucket merges only
         return tok_flat.sum()
     tok_flat = bucket_branch(
         [max(64, NP32 // 4), NP32], P_LANES, n_l,
-        nseg0[NP8:], start0[NP8:], tok_flat)
+        nseg0[NP4 + NP8:], start0[NP4 + NP8:], tok_flat)
     if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
+    return tok_flat
 
-    # no device compaction: tok_flat[i] >= 0 IS the token at byte i (its
-    # index is its position).  The host's flatnonzero is a trivial linear
-    # pass, while the device scatters it replaces cost two N-source
-    # scatter passes — and the readback halves.
+
+def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
+                    seed1: int, seed2: int, wseed: int, NP: int,
+                    host_merge: bool, _stage):
+    """Piece-compact pipeline for statically-routed simple-ASCII batches.
+
+    The stage-1 Pallas kernel left-compacts every row's piece records
+    (ops/pallas_stage1.stage1_compact), so the word probe, the token
+    emission, and the merge-bucket build all run on a (B, C) window —
+    C a lax.cond tier over the max per-row piece count (~R/5.5 on prose)
+    — instead of the flat N byte positions.  Round-3 profile: the flat
+    pipeline's probe alone was 12.3 ms of 33.8 ms per 1 MB; every one of
+    those random-access rows shrinks ~4x here.
+
+    Output contract is identical to packed_encode_impl's flat path."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas_stage1 import stage1_compact
+
+    B, R = byts.shape
+    N = B * R
+
+    if wseed:
+        Wc = word_rows.shape[1]
+        n_words = 3 if Wc == 4 else 6
+        maxl = 12 if Wc == 4 else 24
+        wsize = word_rows.shape[0]
+    else:
+        n_words = 0
+        wsize = 1
+
+    st, pl, sl, *wsc, cnt = stage1_compact(byts, lengths, n_words, wsize,
+                                           wseed)
+    if _stage == 1:  # fused stage 1 (+ compaction)
+        return st.sum() + pl.sum() + cnt.sum()
+    if _stage == 2:  # + content words / slots
+        return sl.sum() + sum(w.sum() for w in wsc)
+    cmax = jnp.max(cnt)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = (idx % R) < lengths[idx // R]
+    byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
+
+    NP4 = NP
+    NP8 = max(64, NP // 2)
+    NP32 = max(64, NP // 8)
+    NPT = NP4 + NP8 + NP32
+
+    def make_branch(C):
+        def run(_):
+            stc, plc, slc = st[:, :C], pl[:, :C], sl[:, :C]
+            wsC = [w[:, :C] for w in wsc]
+            live = stc >= 0
+            row_base = (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+            fstart = jnp.where(live, stc + row_base, -1)       # (B, C)
+
+            # --- word-exact whole-piece probe, piece granularity ---
+            if n_words:
+                rowv = word_rows[jnp.clip(slc, 0, wsize - 1)]  # (B, C, Wc)
+                meta = rowv[..., n_words]
+                ok = live & (meta >= 0) & ((meta & 31) == plc)
+                for k in range(n_words):
+                    ok = ok & (rowv[..., k] == wsC[k])
+                hit = ok & (plc >= 2) & (plc <= maxl)
+                found = jnp.where(hit, meta >> 5, -1)
+            else:
+                hit = jnp.zeros_like(live)
+                found = jnp.full(live.shape, -1, jnp.int32)
+            single = live & (plc == 1)
+            # byte tokens ARE their byte value; ws0 is masked to 1 byte
+            tokv = jnp.where(single, wsC[0] & 0xFF, found)
+
+            # --- emit singles + hits into the flat token stream ---
+            src = tokv.reshape(-1)
+            pos = fstart.reshape(-1)
+            tok = jnp.full(N, -1, jnp.int32).at[
+                jnp.where(src >= 0, pos, N)].set(src, mode="drop")
+
+            miss = live & (plc >= 2) & ~hit
+            missf = miss.reshape(-1)
+            plf = plc.reshape(-1)
+            BC = B * C
+            j = jnp.arange(BC, dtype=jnp.int32)
+
+            if host_merge:
+                fb_id = jnp.cumsum(missf.astype(jnp.int32)) - 1
+                n_miss = jnp.sum(missf.astype(jnp.int32))
+                overflow = (n_miss > NP).astype(jnp.int32)
+                tgt = jnp.where(missf & (fb_id < NP), fb_id, NP)
+                w = jnp.zeros(NP, jnp.int32).at[tgt].set(
+                    (j << 1) | 1, mode="drop")
+                live_r = (w & 1) == 1
+                jj = jnp.clip(w >> 1, 0, BC - 1)
+                fb_start = jnp.where(live_r, pos[jj], -1)
+                fb_len = jnp.where(live_r, plf[jj], 0)
+                zs = jnp.zeros(NPT, jnp.int32)
+                return (tok, fb_start, fb_len, overflow,
+                        zs, jnp.full(NPT, -1, jnp.int32),
+                        jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+            tinym = missf & (plf <= 4)
+            shortm = missf & (plf > 4) & (plf <= P_SHORT)
+            longm = missf & (plf > P_SHORT)
+            id_t = jnp.cumsum(tinym.astype(jnp.int32)) - 1
+            id_s = jnp.cumsum(shortm.astype(jnp.int32)) - 1
+            id_l = jnp.cumsum(longm.astype(jnp.int32)) - 1
+            n_t = jnp.sum(tinym.astype(jnp.int32))
+            n_s = jnp.sum(shortm.astype(jnp.int32))
+            n_l = jnp.sum(longm.astype(jnp.int32))
+            overflow = ((n_t > NP4) | (n_s > NP8)
+                        | (n_l > NP32)).astype(jnp.int32)
+            fb_piece = longm & (plf > P_LANES)
+
+            tgt_row = jnp.where(
+                tinym & (id_t < NP4), id_t,
+                jnp.where(shortm & (id_s < NP8), NP4 + id_s,
+                          jnp.where(longm & (id_l < NP32),
+                                    NP4 + NP8 + id_l, NPT)))
+            w = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
+                (j << 2) | (fb_piece.astype(jnp.int32) << 1) | 1,
+                mode="drop")
+            live_r = (w & 1) == 1
+            jj = jnp.clip(w >> 2, 0, BC - 1)
+            fb_r = live_r & ((w & 2) != 0)
+            start_r = jnp.where(live_r, pos[jj], -1)
+            plen_r = jnp.where(live_r, plf[jj], 0)
+            nseg0 = jnp.where(fb_r, 0, plen_r)
+            fb_start = jnp.where(fb_r, start_r, -1)
+            fb_len = jnp.where(fb_r, plen_r, 0)
+            start0 = jnp.where(live_r & ~fb_r, start_r, -1)
+            return (tok, fb_start, fb_len, overflow, nseg0, start0,
+                    n_t, n_s, n_l)
+        return run
+
+    # C tiers: probe/emission/bucket costs are all (B*C)-proportional, so
+    # pick the smallest window covering the densest row
+    Cs = sorted({min(R, max(64, R // 8)), min(R, max(64, R // 4)),
+                 min(R, max(64, R // 2)), R})
+    branch = make_branch(Cs[-1])
+    for Cv in reversed(Cs[:-1]):
+        branch = (lambda small, big, Cv: lambda x: jax.lax.cond(
+            cmax <= Cv, small, big, x))(make_branch(Cv), branch, Cv)
+    (tok, fb_start, fb_len, overflow, nseg0, start0,
+     n_t, n_s, n_l) = branch(0)
+    if _stage == 3:  # + probe + emission
+        return tok.sum()
+    if _stage in (35, 4):  # + bucket build
+        return (start0.sum() + nseg0.sum() + fb_start.sum()
+                + fb_len.sum() + tok.sum())
+
+    if host_merge:
+        n_out = jnp.sum((tok >= 0).astype(jnp.int32))
+        if _stage in (45, 5):
+            return fb_start.sum() + fb_len.sum() + n_out
+        return tok, n_out, fb_start, fb_len, overflow
+
+    tok_flat = _merge_buckets(
+        tok, byte_rank, nseg0, start0, (n_t, n_s, n_l), (NP4, NP8, NP32),
+        packed_table, dense_tab, seed1, seed2, _stage)
+    if _stage in (45, 5):
+        return tok_flat
     n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
     return tok_flat, n_out, fb_start, fb_len, overflow
 
@@ -598,13 +825,16 @@ class PackedEncoder:
         from ..oracle import encode_ranks
 
         buf, lengths = self.pack(texts)
-        # NOTE: host_route(buf) static routing measured SLOWER than the
-        # device cond chain in both kernel modes (interleaved A/B, v5e:
-        # pallas 30.8 vs 32.8, xla 18.2 vs 29.4 MB/s) — XLA schedules the
-        # cond-wrapped pipeline better.  The route param stays available
-        # as an experimental knob; production uses the cond chain.
+        # Static host routing: at B=128 the device cond chain measured
+        # slightly faster (round-3 early A/B: 30.8 vs 32.8 MB/s), but at
+        # B=512 the cond chain LOSES 31% (interleaved A/B: 30.2 vs
+        # 20.9 MB/s — conds block XLA fusion across the stage-1 boundary
+        # at large shapes), so production routes on the host; the numpy
+        # predicates are ~free and bit-identical.  In-jit callers that
+        # cannot see the data (the distributed path) keep the cond chain.
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._wseed, self._host_merge)
+                              self._wseed, self._host_merge,
+                              host_route(buf))
         tok, n_out, fb_start, fb_len, overflow = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)

@@ -31,6 +31,7 @@ ops/packed.py probe2.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -155,10 +156,12 @@ def _round_fn(B2: int, P: int, size_mask: int, seed1: int, seed2: int,
     lane_bits = max(1, (P - 1).bit_length())
     assert 25 + lane_bits <= 31, P
     # Row-blocked grid: Mosaic pads every block's minor dim to 128 lanes,
-    # so a (B2, 8) block really occupies B2 x 128 lanes in VMEM — full
-    # arrays at grid=(1,) OOM'd vmem at tier 16384 (178 MB of 128 MB,
-    # measured).  512-row blocks keep each step ~3.5 MB incl. padding.
-    RB = min(B2, 512)
+    # so a (B2, 8) block really occupies B2 x 128 lanes in VMEM, and the
+    # SCOPED vmem limit for a kernel's stack is 16 MB (measured round 3:
+    # RB=2048 at tier 16384 OOM'd scoped vmem at 28.21M/16M; grid-step
+    # overhead is per-byte-constant, so big blocks buy little anyway).
+    # 512-row blocks keep each step ~7 MB incl. padding.
+    RB = min(B2, int(os.environ.get("TEKKEN_TPU_MERGE_RB", "512")))
     shapes = [(B2, P), (B2, P), (B2, 1), (B2, 1), (B2, 1), (B2, 4), (B2, 4)]
     blocks = [(RB, P), (RB, P), (RB, 1), (RB, 1), (RB, 1), (RB, 4), (RB, 4)]
     return pl.pallas_call(

@@ -139,3 +139,60 @@ def test_packed_parity_pallas_fuzz(tok, monkeypatch):
         got = enc.encode_batch(texts)
         for t, g in zip(texts, got):
             assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_stage1_compact_matches_flat(tok, monkeypatch):
+    """The in-kernel binary-gap compaction network (stage1_compact) yields
+    exactly the flat stage-1 records gathered at piece starts, left-packed
+    per row with -1 padding — the piece-compact pipeline's foundation."""
+    import jax.numpy as jnp
+
+    from tekken_tpu.ops.pallas_stage1 import stage1_compact, stage1_fused
+
+    rng = random.Random(5)
+    B, R = 8, 256
+    for trial in range(8):
+        texts = _simple_ascii_texts(rng, B, R - 8)
+        buf = np.zeros((B, R), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, t in enumerate(texts):
+            d = t.encode()
+            buf[i, :len(d)] = np.frombuffer(d, np.uint8)
+            lens[i] = len(d)
+
+        plen, slot, *ws = stage1_fused(
+            jnp.asarray(buf), jnp.asarray(lens), 6, 1 << 14, 77)
+        plen = np.asarray(plen).reshape(B, R)
+        slot = np.asarray(slot).reshape(B, R)
+        ws = [np.asarray(w).reshape(B, R) for w in ws]
+
+        st_c, pl_c, sl_c, *wsc, cnt = stage1_compact(
+            jnp.asarray(buf), jnp.asarray(lens), 6, 1 << 14, 77)
+        st_c, pl_c, sl_c, cnt = map(np.asarray, (st_c, pl_c, sl_c, cnt))
+        wsc = [np.asarray(w) for w in wsc]
+
+        for r in range(B):
+            starts = np.flatnonzero(plen[r] > 0)
+            assert cnt[r] == len(starts), (trial, r)
+            k = len(starts)
+            assert (st_c[r, :k] == starts).all(), (trial, r)
+            assert (pl_c[r, :k] == plen[r, starts]).all(), (trial, r)
+            assert (sl_c[r, :k] == slot[r, starts]).all(), (trial, r)
+            for j in range(6):
+                assert (wsc[j][r, :k] == ws[j][r, starts]).all(), (trial, r)
+            assert (st_c[r, k:] == -1).all(), (trial, r)
+
+
+def test_compact_pipeline_dense_rows(tok, monkeypatch):
+    """Rows dense in pieces (alternating 1-byte pieces) push cmax to the
+    top C tier; parity must hold through every tier branch."""
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder, host_route
+
+    enc = PackedEncoder(tok, rows=8, row_len=128)
+    texts = ["a1" * 60, "b2" * 64, "the quick brown fox", "x", ""]
+    buf, _ = enc.pack(texts)
+    assert host_route(buf) == 1
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)

@@ -64,19 +64,22 @@ def main():
     print(f"platform={jax.devices()[0].platform} R={R} reps={REPS} "
           f"sizes={sizes}", flush=True)
 
+    from tekken_tpu.ops.packed import host_route
+
     variants = {}
     for B in sizes:
         enc = PackedEncoder(tok, rows=B, row_len=R, np_cap=B * R // 16)
         docs = build_corpus(words, rng, n_docs=B, doc_len=R)
         buf, lengths = enc.pack(docs)
         nbytes = sum(len(d.encode()) for d in docs)
+        route = host_route(buf)
 
-        def outer(byts, lens, enc=enc):
+        def outer(byts, lens, enc=enc, route=route):
             def body(i, acc):
                 o = packed_encode_impl(
                     byts, lens - (i & 1), enc._packed, enc._dense,
                     enc._word_rows, enc._seed1, enc._seed2,
-                    wseed=enc._wseed, np_cap=enc._np_cap)
+                    wseed=enc._wseed, np_cap=enc._np_cap, route=route)
                 return acc + o[1]
             return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
 

@@ -45,19 +45,34 @@ TEXTS = [
     "trailing space ",
 ]
 
+# qualifies for the static simple-ASCII route (no ws run > 1, no digit
+# run > 3) — exercises the piece-compact pipeline
+SIMPLE_TEXTS = [
+    "hello world, this is a smoke test 123!",
+    "the quick brown fox jumps over the lazy dog",
+    "numbers 1 22 333 mixed with words",
+    "punctuation?! (parens) [brackets] {braces}",
+    "",
+    "it's a contraction we'll check",
+    "a",
+    "supercalifragilisticexpialidocious word",
+]
+
 
 def build_tok():
     from tekken_tpu.models import build_synthetic_tokenizer
     return build_synthetic_tokenizer(num_merges=400)
 
 
-def run_packed(tok, texts, wide: bool, pallas: bool, host_merge: bool):
+def run_packed(tok, texts, wide: bool, pallas: bool, host_merge: bool,
+               route: int | None = None):
     """Jit packed_encode_impl fresh (no lru cache) so env toggles retrace."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tekken_tpu.ops.packed import (PackedEncoder, packed_encode_impl,
+    from tekken_tpu.ops.packed import (PackedEncoder, host_route,
+                                       packed_encode_impl,
                                        splice_host_merges, oracle_merge_fn)
     from tekken_tpu.vocab import WordDirectMap
 
@@ -68,9 +83,12 @@ def run_packed(tok, texts, wide: bool, pallas: bool, host_merge: bool):
     word_rows = jnp.asarray(wm.rows)
     impl = ft.partial(packed_encode_impl, seed1=enc._seed1,
                       seed2=enc._seed2, wseed=int(wm.seed),
-                      np_cap=enc._np_cap, host_merge=host_merge)
+                      np_cap=enc._np_cap, host_merge=host_merge,
+                      route=route)
     fn = jax.jit(impl)
     buf, lengths = enc.pack(texts)
+    if route is not None:
+        assert host_route(buf) == route, (host_route(buf), route)
     t0 = time.time()
     out = fn(jnp.asarray(buf), jnp.asarray(lengths), enc._packed,
              enc._dense, word_rows)
@@ -144,6 +162,14 @@ def main():
         ("packed-pallas", pallas_default_on,
          lambda: run_packed(tok, TEXTS, wide=True, pallas=True,
                             host_merge=False)),
+        # the piece-compact pipeline (static simple-ASCII route + Pallas):
+        # production's hot path for typical prose
+        ("packed-compact", pallas_default_on,
+         lambda: run_packed(tok, SIMPLE_TEXTS, wide=True, pallas=True,
+                            host_merge=False, route=1)),
+        ("packed-compact-hostmerge", pallas_default_on,
+         lambda: run_packed(tok, SIMPLE_TEXTS, wide=True, pallas=True,
+                            host_merge=True, route=1)),
     ]
 
     for name, gating, fn in variants:
