@@ -1,6 +1,9 @@
 """Fully-on-device flat encode: boundaries + BPE merge over a byte buffer.
 
-The production throughput path: documents are packed into rows of a
+The differential-testing engine (NOT the production path — that is
+ops/packed.py; see docs/PARITY.md for the engine hierarchy): an
+independent device formulation of the same semantics, fuzzed against the
+oracle and the packed kernel.  Documents are packed into rows of a
 (B, row_len) byte matrix; piece boundaries are computed per row (documents
 are independent — run-relative rules like digit triples must not see
 neighbor docs) with the vectorized pretokenizer vmapped over rows; the BPE

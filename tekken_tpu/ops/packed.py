@@ -52,11 +52,15 @@ P_SHORT = 8
 
 def default_np_cap(n_bytes: int) -> int:
     """Default merge-matrix row capacity for an n_bytes buffer (counts only
-    ACTIVE pieces — multi-byte vocab misses).  N/8 covers even a 50%-miss
-    corpus (pieces are >= 2 bytes, so there are at most N/2 of them), and
-    overflow degrades to an exact full-batch host fallback rather than
-    wrong output.  One policy, shared by PackedEncoder and
-    DistributedEncoder (per shard)."""
+    ACTIVE pieces — multi-byte vocab misses).  The returned NP sizes the
+    P=4 bucket; the P=8 bucket gets NP/2 and the P=32 bucket NP/8
+    (misses skew short — bench corpus: 100% are 2-3 bytes), so a batch
+    whose 5-8-byte or >8-byte miss count exceeds ITS bucket trips the
+    overflow flag even below NP total.  Overflow always degrades to an
+    exact full-batch host fallback rather than wrong output; NP covers
+    even a 50%-miss corpus of short pieces (pieces are >= 2 bytes, so
+    there are at most N/2 of them).  One policy, shared by PackedEncoder
+    and DistributedEncoder (per shard)."""
     return max(64, n_bytes // 8)
 
 
@@ -164,19 +168,21 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     N = B * R
     NP = np_cap if np_cap is not None else max(64, N // 16)
 
-    from .pallas_boundary import pallas_enabled
-    from .pallas_stage1 import stage1_fused
+    from .pallas_stage1 import pallas_enabled, stage1_fused
     from .pretokenize import (ascii_classes_arith, ascii_packed_lookup,
                               byte_boundaries_ascii,
                               byte_boundaries_ascii_simple)
 
-    if route == 1 and pallas_enabled():
-        # statically-routed simple-ASCII batches take the PIECE-COMPACT
-        # pipeline: every random-access op downstream of stage 1 runs at
-        # piece granularity (~N/5.5 rows) instead of byte granularity
+    if route in (1, 2, 3) and pallas_enabled():
+        # every statically-routed batch takes the PIECE-COMPACT pipeline
+        # (round 4: previously simple-ASCII only): every random-access op
+        # downstream of stage 1 runs at piece granularity (~N/5.5 rows)
+        # instead of byte granularity.  The routes differ only in how the
+        # boundary flags are produced (in-kernel simple/general rules, or
+        # the XLA UTF-8 char path feeding the kernel externally).
         return _compact_encode(byts, lengths, packed_table, dense_tab,
                                word_rows, seed1, seed2, wseed, NP,
-                               host_merge, _stage)
+                               host_merge, route, _stage)
 
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = (idx % R) < lengths[idx // R]
@@ -461,7 +467,7 @@ def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
     import jax.numpy as jnp
 
     from .bpe import merge_rows_compact
-    from .pallas_boundary import pallas_enabled
+    from .pallas_stage1 import pallas_enabled
 
     N = tok_base.shape[0]
 
@@ -531,8 +537,8 @@ def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
 
 def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                     seed1: int, seed2: int, wseed: int, NP: int,
-                    host_merge: bool, _stage):
-    """Piece-compact pipeline for statically-routed simple-ASCII batches.
+                    host_merge: bool, route: int, _stage):
+    """Piece-compact pipeline for every statically-routed batch.
 
     The stage-1 Pallas kernel left-compacts every row's piece records
     (ops/pallas_stage1.stage1_compact), so the word probe, the token
@@ -542,6 +548,13 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
     pipeline's probe alone was 12.3 ms of 33.8 ms per 1 MB; every one of
     those random-access rows shrinks ~4x here.
 
+    ``route`` picks the boundary formulation (ops/pallas_stage1 rules):
+    1 = simple-ASCII scan-free rules in-kernel; 2 = full general rule
+    set in-kernel (row-local log-doubling scans); 3 = UTF-8 — the XLA
+    char path (class-table gather + char compaction) computes byte-level
+    flags, the kernel does geometry/dwords/hash/compaction.  Everything
+    downstream of the flags is byte-positional and route-independent.
+
     Output contract is identical to packed_encode_impl's flat path."""
     import jax
     import jax.numpy as jnp
@@ -550,6 +563,9 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
 
     B, R = byts.shape
     N = B * R
+    # the bucket-build pack shifts compact indices j < B*C <= N by 2 bits
+    # (mirrors the flat path's guard at its identical pack; ADVICE r3)
+    assert N < (1 << 29), N
 
     if wseed:
         Wc = word_rows.shape[1]
@@ -560,8 +576,17 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
         n_words = 0
         wsize = 1
 
-    st, pl, sl, *wsc, cnt = stage1_compact(byts, lengths, n_words, wsize,
-                                           wseed)
+    if route == 3:
+        bound = jax.vmap(byte_boundaries)(byts, lengths)
+        st, pl, sl, *wsc, cnt = stage1_compact(
+            byts, lengths, n_words, wsize, wseed, rules="external",
+            boundary=bound)
+    elif route == 2:
+        st, pl, sl, *wsc, cnt = stage1_compact(
+            byts, lengths, n_words, wsize, wseed, rules="general")
+    else:
+        st, pl, sl, *wsc, cnt = stage1_compact(byts, lengths, n_words,
+                                               wsize, wseed)
     if _stage == 1:  # fused stage 1 (+ compaction)
         return st.sum() + pl.sum() + cnt.sum()
     if _stage == 2:  # + content words / slots
@@ -575,7 +600,8 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
     NP4 = NP
     NP8 = max(64, NP // 2)
     NP32 = max(64, NP // 8)
-    NPT = NP4 + NP8 + NP32
+    NP3 = NP           # 2-3-byte misses dominate real corpora
+    NPT = NP4 + NP8 + NP32 + NP3
 
     def make_branch(C):
         def run(_):
@@ -601,19 +627,17 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             # byte tokens ARE their byte value; ws0 is masked to 1 byte
             tokv = jnp.where(single, wsC[0] & 0xFF, found)
 
-            # --- emit singles + hits into the flat token stream ---
-            src = tokv.reshape(-1)
-            pos = fstart.reshape(-1)
-            tok = jnp.full(N, -1, jnp.int32).at[
-                jnp.where(src >= 0, pos, N)].set(src, mode="drop")
-
             miss = live & (plc >= 2) & ~hit
-            missf = miss.reshape(-1)
+            pos = fstart.reshape(-1)
             plf = plc.reshape(-1)
             BC = B * C
             j = jnp.arange(BC, dtype=jnp.int32)
 
             if host_merge:
+                src = tokv.reshape(-1)
+                tok = jnp.full(N, -1, jnp.int32).at[
+                    jnp.where(src >= 0, pos, N)].set(src, mode="drop")
+                missf = miss.reshape(-1)
                 fb_id = jnp.cumsum(missf.astype(jnp.int32)) - 1
                 n_miss = jnp.sum(missf.astype(jnp.int32))
                 overflow = (n_miss > NP).astype(jnp.int32)
@@ -627,32 +651,57 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                 zs = jnp.zeros(NPT, jnp.int32)
                 return (tok, fb_start, fb_len, overflow,
                         zs, jnp.full(NPT, -1, jnp.int32),
-                        jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                        jnp.zeros(NP3, jnp.int32), jnp.int32(0))
 
-            tinym = missf & (plf <= 4)
+            # --- emit singles + hits into the flat token stream ---
+            src = tokv.reshape(-1)
+            tok = jnp.full(N, -1, jnp.int32).at[
+                jnp.where(src >= 0, pos, N)].set(src, mode="drop")
+
+            # 2-3-byte misses — the dominant miss lengths on real corpora
+            # (bench corpus: 100%) — skip the merge matrix entirely: they
+            # go to the one-probe P23 tier below (round-4 profile: the
+            # 3-round matrix path was 4.2 of 8.3 ms per 256 KB and scaled
+            # super-linearly with batch).  Their scatter word packs the
+            # FLAT BYTE POSITION (+ the plen-3 bit), so the tier re-reads
+            # bytes from byte_rank and needs nothing at BC granularity.
+            m23f = (miss & (plc <= 3)).reshape(-1)
+            missf = (miss & (plc >= 4)).reshape(-1)
+            is3f = (miss & (plc == 3)).reshape(-1)
+            tinym = missf & (plf == 4)
             shortm = missf & (plf > 4) & (plf <= P_SHORT)
             longm = missf & (plf > P_SHORT)
+            id_23 = jnp.cumsum(m23f.astype(jnp.int32)) - 1
             id_t = jnp.cumsum(tinym.astype(jnp.int32)) - 1
             id_s = jnp.cumsum(shortm.astype(jnp.int32)) - 1
             id_l = jnp.cumsum(longm.astype(jnp.int32)) - 1
+            n_23 = jnp.sum(m23f.astype(jnp.int32))
             n_t = jnp.sum(tinym.astype(jnp.int32))
             n_s = jnp.sum(shortm.astype(jnp.int32))
             n_l = jnp.sum(longm.astype(jnp.int32))
-            overflow = ((n_t > NP4) | (n_s > NP8)
+            overflow = ((n_23 > NP3) | (n_t > NP4) | (n_s > NP8)
                         | (n_l > NP32)).astype(jnp.int32)
             fb_piece = longm & (plf > P_LANES)
 
+            NPM = NP4 + NP8 + NP32
             tgt_row = jnp.where(
                 tinym & (id_t < NP4), id_t,
                 jnp.where(shortm & (id_s < NP8), NP4 + id_s,
                           jnp.where(longm & (id_l < NP32),
-                                    NP4 + NP8 + id_l, NPT)))
+                                    NP4 + NP8 + id_l,
+                                    jnp.where(m23f & (id_23 < NP3),
+                                              NPM + id_23, NPT))))
+            word = jnp.where(
+                m23f, (pos << 2) | (is3f.astype(jnp.int32) << 1) | 1,
+                (j << 2) | (fb_piece.astype(jnp.int32) << 1) | 1)
             w = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
-                (j << 2) | (fb_piece.astype(jnp.int32) << 1) | 1,
-                mode="drop")
+                word, mode="drop")
             live_r = (w & 1) == 1
             jj = jnp.clip(w >> 2, 0, BC - 1)
-            fb_r = live_r & ((w & 2) != 0)
+            # fb flag bit means "plen 3" in the P23 range — mask it out
+            ridx = jnp.arange(NPT, dtype=jnp.int32)
+            fb_r = live_r & ((w & 2) != 0) & (ridx < NPM)
             start_r = jnp.where(live_r, pos[jj], -1)
             plen_r = jnp.where(live_r, plf[jj], 0)
             nseg0 = jnp.where(fb_r, 0, plen_r)
@@ -660,7 +709,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             fb_len = jnp.where(fb_r, plen_r, 0)
             start0 = jnp.where(live_r & ~fb_r, start_r, -1)
             return (tok, fb_start, fb_len, overflow, nseg0, start0,
-                    n_t, n_s, n_l)
+                    n_t, n_s, n_l, w[NPM:], n_23)
         return run
 
     # C tiers: probe/emission/bucket costs are all (B*C)-proportional, so
@@ -672,12 +721,12 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
         branch = (lambda small, big, Cv: lambda x: jax.lax.cond(
             cmax <= Cv, small, big, x))(make_branch(Cv), branch, Cv)
     (tok, fb_start, fb_len, overflow, nseg0, start0,
-     n_t, n_s, n_l) = branch(0)
+     n_t, n_s, n_l, w23, n_23) = branch(0)
     if _stage == 3:  # + probe + emission
         return tok.sum()
     if _stage in (35, 4):  # + bucket build
         return (start0.sum() + nseg0.sum() + fb_start.sum()
-                + fb_len.sum() + tok.sum())
+                + fb_len.sum() + tok.sum() + w23.sum() + n_23)
 
     if host_merge:
         n_out = jnp.sum((tok >= 0).astype(jnp.int32))
@@ -685,18 +734,93 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             return fb_start.sum() + fb_len.sum() + n_out
         return tok, n_out, fb_start, fb_len, overflow
 
+    # --- 2-3-byte misses: fully resolved in a compact tier sized to the
+    # actual count.  A 2-byte miss needs NO probe (its only pair's
+    # merged rank IS the dense-table entry — merge priority is the
+    # merged rank); a 3-byte miss needs exactly ONE cuckoo probe after
+    # the dense argmin picks the first merge.  Per tier: one 3T-row
+    # byte gather, one 2T dense gather, one probe2, one 3T un-scatter —
+    # replacing the 3-round matrix path these pieces took before
+    # (round-4 profile: 4.2 of 8.3 ms per 256 KB, super-linear in B). ---
+    def p23_tier(T):
+        def run23(t):
+            wv = w23[:T]
+            livev = (wv & 1) == 1
+            posr = jnp.where(livev, jax.lax.shift_right_logical(wv, 2),
+                             -1)
+            is3 = livev & ((wv & 2) != 0)
+            pc = jnp.clip(posr, 0, N - 1)
+            bs = byte_rank[jnp.concatenate(
+                [pc, jnp.clip(pc + 1, 0, N - 1),
+                 jnp.clip(pc + 2, 0, N - 1)])]
+            b0, b1, b2 = bs[:T], bs[T:2 * T], bs[2 * T:]
+            q1ok = livev & (b0 >= 0) & (b1 >= 0)
+            q2ok = is3 & (b2 >= 0)
+            didx = jnp.concatenate(
+                [jnp.where(q1ok, b0 * 256 + b1, 0),
+                 jnp.where(q2ok, b1 * 256 + b2, 0)])
+            dd = dense_tab[didx]
+            p1 = jnp.where(q1ok, dd[:T], INF)
+            p2 = jnp.where(q2ok, dd[T:], INF)
+            # 3-byte first merge: dense argmin, leftmost on ties
+            any3 = is3 & ((p1 < INF) | (p2 < INF))
+            first = p1 <= p2
+            ql = jnp.where(any3, jnp.where(first, p1, b0), -1)
+            qr = jnp.where(any3, jnp.where(first, b2, p2), -1)
+            m = probe2(ql, qr, packed_table, seed1, seed2)
+            hitp = m < INF
+            two = livev & ~is3
+            t0 = jnp.where(
+                two, jnp.where(p1 < INF, p1, b0),
+                jnp.where(is3, jnp.where(
+                    any3, jnp.where(hitp, m,
+                                    jnp.where(first, p1, b0)), b0), -1))
+            t1 = jnp.where(
+                two & (p1 >= INF), b1,
+                jnp.where(is3 & any3 & ~hitp & ~first, p2,
+                          jnp.where(is3 & ~any3, b1, -1)))
+            t2 = jnp.where(is3 & ((any3 & ~hitp & first) | ~any3),
+                           b2, -1)
+            src = jnp.concatenate([t0, t1, t2])
+            dst = jnp.concatenate([posr, posr + 1, posr + 2])
+            ok = (src >= 0) & (jnp.concatenate([posr, posr, posr]) >= 0)
+            return t.at[jnp.where(ok, dst, N)].set(src, mode="drop")
+        return run23
+
+    tiers3 = sorted({max(64, NP3 // 16), max(64, NP3 // 4), NP3})
+    b3 = p23_tier(tiers3[-1])
+    for T in reversed(tiers3[:-1]):
+        b3 = (lambda small, big, T: lambda t: jax.lax.cond(
+            n_23 <= T, small, big, t))(p23_tier(T), b3, T)
+    tok = jax.lax.cond(n_23 == 0, lambda t: t, b3, tok)
+    if _stage == 42:  # + P23 probe/emit
+        return tok.sum()
+
+    NPM = NP4 + NP8 + NP32
     tok_flat = _merge_buckets(
-        tok, byte_rank, nseg0, start0, (n_t, n_s, n_l), (NP4, NP8, NP32),
-        packed_table, dense_tab, seed1, seed2, _stage)
+        tok, byte_rank, nseg0[:NPM], start0[:NPM], (n_t, n_s, n_l),
+        (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
     if _stage in (45, 5):
         return tok_flat
     n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
     return tok_flat, n_out, fb_start, fb_len, overflow
 
 
-@functools.lru_cache(maxsize=16)
 def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
                      host_merge: bool = False, route: int | None = None):
+    # pallas_enabled() changes which pipeline the trace takes (compact vs
+    # flat for route==1, fused vs XLA stage 1); it must be part of the
+    # cache key or a toggled TEKKEN_TPU_PALLAS serves a stale trace of
+    # the other pipeline (ADVICE r3).
+    from .pallas_stage1 import pallas_enabled
+
+    return _packed_encode_fn(seed1, seed2, np_cap, wseed, host_merge,
+                             route, pallas_enabled())
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int,
+                      host_merge: bool, route: int | None, _pallas: bool):
     import functools as ft
     import jax
 

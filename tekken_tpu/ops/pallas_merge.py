@@ -162,6 +162,12 @@ def _round_fn(B2: int, P: int, size_mask: int, seed1: int, seed2: int,
     # overhead is per-byte-constant, so big blocks buy little anyway).
     # 512-row blocks keep each step ~7 MB incl. padding.
     RB = min(B2, int(os.environ.get("TEKKEN_TPU_MERGE_RB", "512")))
+    # grid=(B2 // RB,) floor-divides: RB MUST divide B2 or trailing rows
+    # would silently never be written (ADVICE r3).  Round down to a
+    # divisor (every tier size is a multiple of 64, so this terminates
+    # quickly; RB=1 always divides).
+    while B2 % RB:
+        RB >>= 1
     shapes = [(B2, P), (B2, P), (B2, 1), (B2, 1), (B2, 1), (B2, 4), (B2, 4)]
     blocks = [(RB, P), (RB, P), (RB, 1), (RB, 1), (RB, 1), (RB, 4), (RB, 4)]
     return pl.pallas_call(

@@ -30,6 +30,23 @@ tests/test_pallas_stage1.py (interpret mode) and tools/tpu_smoke.py
 from __future__ import annotations
 
 import functools
+import os
+
+
+def pallas_enabled() -> bool:
+    """Shared default-on switch for the fused Pallas kernels (this module
+    and ops/pallas_merge.py).
+
+    DEFAULT ON (round 3): unlike round 2's untested default-on (the Mosaic
+    crash in BENCH_r02), the Pallas path (a) passes tools/tpu_smoke.py on
+    the live v5e (all variants, oracle parity), (b) measures faster than
+    the XLA path in interleaved same-session A/B (32.8 vs 29.4 MB/s,
+    variance <2%), and (c) is wrapped in the runtime loud-fallback
+    (tekkenizer encode_batch catches first-call compile failures and
+    degrades to host with a RuntimeWarning).  ``TEKKEN_TPU_PALLAS=0``
+    falls back to the plain XLA formulations; on the CPU backend the
+    kernels run in interpret mode (tests)."""
+    return os.environ.get("TEKKEN_TPU_PALLAS", "1") != "0"
 
 
 def _i32(c: int) -> int:
@@ -132,8 +149,8 @@ def _stage1_fn(B: int, R: int, RB: int, n_words: int, size_mask: int,
     )
 
 
-def _compact_kernel(byts_ref, len_ref, *out_refs, n_words: int,
-                    size_mask: int, wseed: int):
+def _compact_kernel(*refs, n_words: int, size_mask: int, wseed: int,
+                    rules: str):
     """Stage 1 + PIECE COMPACTION in one HBM sweep.
 
     Every downstream op of the packed kernel is a random-access op whose
@@ -163,15 +180,31 @@ def _compact_kernel(byts_ref, len_ref, *out_refs, n_words: int,
     import jax
     import jax.numpy as jnp
 
-    from .pretokenize import _char_boundaries_simple, ascii_classes_arith
+    from .pretokenize import (_char_boundaries_general,
+                              _char_boundaries_simple, ascii_classes_arith)
 
-    b = byts_ref[...]                       # (RB, R) int32, ASCII (< 0x80)
+    if rules == "external":
+        # byte-level boundary flags computed upstream (the UTF-8 route:
+        # char-class gathers + char compaction stay in XLA); everything
+        # downstream — geometry, content dwords, hash, compaction — is
+        # byte-positional and rule-set-independent
+        byts_ref, bound_ref, len_ref, *out_refs = refs
+    else:
+        byts_ref, len_ref, *out_refs = refs
+        bound_ref = None
+    b = byts_ref[...]                       # (RB, R) int32
     L = len_ref[...]                        # (RB, 1) int32
     R = b.shape[-1]
     idx = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
     valid = idx < L
-    pk = ascii_classes_arith(b, out_dtype=jnp.int32)
-    boundary = _char_boundaries_simple(b, valid, pk)  # bool, valid-masked
+    if rules == "external":
+        boundary = (bound_ref[...] != 0) & valid
+    elif rules == "general":
+        pk = ascii_classes_arith(b, out_dtype=jnp.int32)
+        boundary = _char_boundaries_general(b, valid, pk)
+    else:
+        pk = ascii_classes_arith(b, out_dtype=jnp.int32)
+        boundary = _char_boundaries_simple(b, valid, pk)  # valid-masked
 
     BIG = jnp.int32(1 << 30)
     nb = _sh(boundary.astype(jnp.int32), 1, 1)
@@ -249,21 +282,24 @@ def _compact_kernel(byts_ref, len_ref, *out_refs, n_words: int,
     out_refs[3 + nw][...] = cnt
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _compact_fn(B: int, R: int, RB: int, n_words: int, size_mask: int,
-                wseed: int, interpret: bool):
+                wseed: int, rules: str, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     nw = max(n_words, 1)
     n_out = 3 + nw
+    in_specs = [pl.BlockSpec((RB, R), lambda i: (i, 0))]
+    if rules == "external":
+        in_specs.append(pl.BlockSpec((RB, R), lambda i: (i, 0)))
+    in_specs.append(pl.BlockSpec((RB, 1), lambda i: (i, 0)))
     return pl.pallas_call(
         functools.partial(_compact_kernel, n_words=n_words,
-                          size_mask=size_mask, wseed=wseed),
+                          size_mask=size_mask, wseed=wseed, rules=rules),
         grid=(B // RB,),
-        in_specs=[pl.BlockSpec((RB, R), lambda i: (i, 0)),
-                  pl.BlockSpec((RB, 1), lambda i: (i, 0))],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((RB, R), lambda i: (i, 0))] * n_out
         + [pl.BlockSpec((RB, 1), lambda i: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((B, R), jnp.int32)] * n_out
@@ -272,15 +308,18 @@ def _compact_fn(B: int, R: int, RB: int, n_words: int, size_mask: int,
     )
 
 
-def stage1_compact(byts, lengths, n_words: int, word_size: int, wseed: int):
+def stage1_compact(byts, lengths, n_words: int, word_size: int, wseed: int,
+                   rules: str = "simple", boundary=None):
     """(B, R) uint8 + (B,) int32 -> (start_rl, plen_c, slot_c, ws_c...,
     cnt); piece records left-compacted per row, -1 padding (cnt: (B,)).
 
-    Simple-ASCII rule set (the caller routes); exactness is guaranteed by
-    the same route predicates as stage1_fused.
+    ``rules`` selects the boundary formulation the kernel runs:
+    "simple" (scan-free simple-ASCII rules — the caller routes),
+    "general" (full rule set, row-local log-doubling scans — any ASCII),
+    or "external" (``boundary`` carries precomputed byte-level piece-start
+    flags, e.g. the XLA UTF-8 path's — the kernel does geometry + content
+    dwords + hash + compaction only).
     """
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -289,17 +328,24 @@ def stage1_compact(byts, lengths, n_words: int, word_size: int, wseed: int):
     if rb_env:
         RB = int(rb_env)
     else:
-        # ~12 live (RB, R) arrays flow through the network; stay well
-        # under the 16 MB scoped-vmem limit
-        RB = max(8, (5 << 20) // (12 * 4 * max(R, 128)))
+        # live (RB, R) arrays flowing through the shift networks; stay
+        # well under the 16 MB scoped-vmem limit (the general rules run
+        # ~6 extra scans, so budget more arrays)
+        den = 12 if rules == "simple" else 18
+        RB = max(8, (5 << 20) // (den * 4 * max(R, 128)))
         while RB & (RB - 1):
             RB &= RB - 1
     RB = min(RB, B)
     while B % RB:
         RB >>= 1
     interpret = jax.default_backend() == "cpu"
-    fn = _compact_fn(B, R, RB, n_words, word_size - 1, wseed, interpret)
-    out = fn(byts.astype(jnp.int32), lengths.reshape(B, 1))
+    fn = _compact_fn(B, R, RB, n_words, word_size - 1, wseed, rules,
+                     interpret)
+    if rules == "external":
+        out = fn(byts.astype(jnp.int32), boundary.astype(jnp.int32),
+                 lengths.reshape(B, 1))
+    else:
+        out = fn(byts.astype(jnp.int32), lengths.reshape(B, 1))
     return tuple(out[:-1]) + (out[-1].reshape(B),)
 
 

@@ -279,7 +279,7 @@ def _char_boundaries_simple(cp, is_valid, pk):
 
     Shape-generic over the LAST axis (rows are independent), so the same
     code serves the 1D host path, the batched 2D XLA path, and the fused
-    Pallas kernel (ops/pallas_boundary.py).
+    Pallas kernel (ops/pallas_stage1.py).
 
     MOSAIC-SAFE: all arithmetic is int32 and no bool array is ever
     concatenated — Mosaic's vreg layout assert fires on uint8 arithmetic
@@ -373,6 +373,163 @@ def _char_boundaries_simple(cp, is_valid, pk):
     )
     b_punct = is_p & change & ~((idx > 0) & p_is_space)
     b_ws = is_w & ~(p_is_p & is_nl)
+
+    return (b_num | b_letter_start | b_letter_cont | b_punct
+            | b_ws) & is_valid
+
+
+def _char_boundaries_general(cp, is_valid, pk):
+    """The FULL boundary rule set of ``_char_boundaries``, row-local over
+    the last axis, with every cumulative scan expressed as a log-doubling
+    shift network — the formulation the compact Pallas stage-1 kernel
+    runs for general-ASCII batches (ws runs > 1 / digit runs > 3 allowed;
+    chars == bytes, i.e. all input < 0x80).
+
+    MOSAIC-SAFE like _char_boundaries_simple: int32 arithmetic only, no
+    bool concatenates, >=2D iota, ``%`` replaced by an exact multiply-
+    shift div-3 (valid for run offsets < 8192; asserted).  Bit-identical
+    to _char_boundaries on qualifying rows (tests/test_pretokenize.py
+    differential fuzz)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = cp.shape[-1]
+    assert n <= 8192, n  # div-3 multiply trick bound (see b_num)
+    if cp.ndim > 1:
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * (cp.ndim - 1) + (n,), cp.ndim - 1)
+        idx = jnp.broadcast_to(idx, cp.shape)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+    def sh(arr, k, fill):
+        # value at idx+k along the last axis (static slice, not a gather)
+        if k == 0:
+            return arr
+        pad = jnp.full(arr.shape[:-1] + (min(abs(k), n),), fill,
+                       dtype=arr.dtype)
+        if k > 0:
+            return (jnp.concatenate([arr[..., k:], pad], axis=-1)
+                    if k < n else jnp.broadcast_to(pad, arr.shape))
+        return (jnp.concatenate([pad, arr[..., :k]], axis=-1)
+                if -k < n else jnp.broadcast_to(pad, arr.shape))
+
+    def cummax_f(x, fill):
+        k = 1
+        while k < n:
+            x = jnp.maximum(x, sh(x, -k, fill))
+            k <<= 1
+        return x
+
+    def cummin_r(x, fill):
+        k = 1
+        while k < n:
+            x = jnp.minimum(x, sh(x, k, fill))
+            k <<= 1
+        return x
+
+    BIG = jnp.int32(1 << 30)
+    cp = jnp.where(is_valid, cp, 0)
+    pk = jnp.where(is_valid, pk.astype(jnp.int32), 0)
+    cls = pk & 7
+    fold = (pk >> 3) & 0x1F
+
+    is_l = (cls & _LETTER) != 0
+    is_n = (cls & _NUMBER) != 0
+    is_w = (cls & _WS) != 0
+    is_p = is_valid & ~is_l & ~is_n & ~is_w
+    is_nl = is_valid & ((cp == 0x0D) | (cp == 0x0A))
+    is_space = is_valid & (cp == 0x20)
+    is_apos = is_valid & (cp == 0x27)
+
+    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
+                                                        jnp.where(is_p, 3,
+                                                                  4))))
+    onei = jnp.ones(g.shape[:-1] + (1,), dtype=jnp.int32)
+    change = jnp.concatenate(
+        [onei, (g[..., 1:] != g[..., :-1]).astype(jnp.int32)], axis=-1) != 0
+    change_next = jnp.concatenate(
+        [(g[..., :-1] != g[..., 1:]).astype(jnp.int32), onei], axis=-1) != 0
+
+    vi = is_valid.astype(jnp.int32)
+    z = jnp.int32(0)
+
+    # scans (row-local log-doubling)
+    S = cummax_f(jnp.where(change, idx, -1), jnp.int32(-1))
+    u = cummax_f(jnp.where(~is_nl & (vi != 0), idx, -1), jnp.int32(-1))
+    f = cummin_r(jnp.where(is_nl, idx, BIG), BIG)
+    nxt_change_pos = cummin_r(jnp.where(change_next, idx, BIG), BIG)
+    p_is_p_i = sh(jnp.where(is_p, 1, z), -1, z)
+    prev_run_is_p = (cummax_f(
+        jnp.where(change, idx * 2 + p_is_p_i, -1), jnp.int32(-1)) & 1) == 1
+
+    # shifted neighbor context
+    p_is_w = sh(jnp.where(is_w, 1, z), -1, z) != 0
+    p_is_nl = sh(jnp.where(is_nl, 1, z), -1, z) != 0
+    p_is_p = p_is_p_i != 0
+    p_is_space = sh(jnp.where(is_space, 1, z), -1, z) != 0
+    p_change = sh(jnp.where(change, 1, z), -1, z) != 0
+    p2_is_space = sh(jnp.where(is_space, 1, z), -2, z) != 0
+    u_prev = sh(u, -1, jnp.int32(-1))
+    f_prev = sh(f, -1, BIG)
+    next_valid = sh(vi, 1, z) != 0
+
+    # contraction at a free length-1 apostrophe run
+    f1 = sh(fold, 1, z)
+    f2 = sh(fold, 2, z)
+    next_is_letter = sh(jnp.where(is_l, 1, z), 1, z) != 0
+    has_l2 = (sh(jnp.where(is_l, 1, z), 2, z) != 0) & (
+        sh(jnp.where(change, 1, z), 2, 1) == 0)
+    p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
+    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
+    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
+                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
+    contraction = p_free_apos & next_is_letter & (one_letter | two_letter)
+    cons = (jnp.where(contraction & one_letter, 1, z)
+            | jnp.where(contraction & two_letter, 2, z))
+    cm2 = sh(cons, -2, z)
+    cm3 = sh(cons, -3, z)
+
+    # rule A: number runs split into triples from the run start.
+    # d % 3 via exact multiply-shift: floor(d/3) = (d*21846) >> 16 for
+    # 0 <= d < 8192 (error term 2d/196608 < 1/3 keeps the floor exact)
+    d = jnp.where(is_n, idx - S, z)
+    div3 = jax.lax.shift_right_logical(d * jnp.int32(21846), 16)
+    b_num = is_n & ((d - 3 * div3) == 0)
+
+    # rule B: letter-run start
+    absorbed = ((p_is_w & ~p_is_nl)
+                | (p_is_p & p_change & ~p2_is_space))
+    b_letter_start = is_l & change & ~((idx > 0) & absorbed)
+
+    # rule C: post-contraction remainder
+    p_change1 = p_change
+    p_change2 = sh(jnp.where(change, 1, z), -2, z) != 0
+    b_letter_cont = is_l & ~change & (
+        (p_change1 & ((cm2 & 1) != 0))
+        | (p_change2 & ~p_change1 & ((cm3 & 2) != 0))
+    )
+
+    # rule D: punct-run start
+    b_punct = is_p & change & ~((idx > 0) & p_is_space)
+
+    # rule E: whitespace runs (entry / tail / last sub-pieces)
+    run_continues = ~change
+    no_nl_to_end = f > nxt_change_pos
+    no_nl_to_end_prev = f_prev > nxt_change_pos
+
+    # bool selects spelled as logical ops: Mosaic materializes a
+    # jnp.where on bool vectors (and scalar-bool splats) as an i8 mask
+    # and fails on the i8 -> i1 truncation (caught by tpu_smoke, round
+    # 4); & / | / ~ lower cleanly and are bit-identical
+    is_entry = is_w & ((prev_run_is_p & ~is_nl & (u_prev < S))
+                       | (~prev_run_is_p & change))
+    prev_ge_entry = ~prev_run_is_p | (u_prev >= S)
+    b_ws_tail = (is_w & run_continues & p_is_nl & prev_ge_entry
+                 & no_nl_to_end & ~is_entry)
+    b_ws_last = (is_w & change_next & next_valid
+                 & run_continues & ~p_is_nl & no_nl_to_end_prev)
+    b_ws = is_entry | b_ws_tail | b_ws_last
 
     return (b_num | b_letter_start | b_letter_cont | b_punct
             | b_ws) & is_valid

@@ -196,3 +196,112 @@ def test_compact_pipeline_dense_rows(tok, monkeypatch):
     got = enc.encode_batch(texts)
     for t, g in zip(texts, got):
         assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_char_boundaries_general_matches_reference():
+    """The row-local log-doubling formulation (the compact kernel's
+    general-ASCII rules) is bit-identical to _char_boundaries on
+    adversarial ASCII: ws runs, digit runs, newline runs, contractions."""
+    import jax.numpy as jnp
+
+    from tekken_tpu.ops.pretokenize import (_char_boundaries,
+                                            _char_boundaries_general,
+                                            ascii_packed_lookup)
+
+    rng = np.random.default_rng(123)
+    L = 256
+    for trial in range(60):
+        n = int(rng.integers(0, 200))
+        chars: list[int] = []
+        while len(chars) < n:
+            kind = rng.integers(0, 6)
+            rl = int(rng.integers(1, 6))
+            if kind == 0:
+                chars += [int(rng.choice([9, 10, 13, 32]))] * rl
+            elif kind == 1:
+                chars += [int(x) for x in rng.integers(48, 58, rl)]
+            elif kind == 2:
+                chars += [int(x) for x in rng.integers(97, 123, rl)]
+            elif kind == 3:
+                chars += [39] + [int(rng.choice(
+                    [ord(c) for c in "strelvmd"])) for _ in range(rl)]
+            elif kind == 4:
+                chars += [int(rng.choice([33, 44, 46, 59, 10, 13]))
+                          for _ in range(rl)]
+            else:
+                chars += [int(x) for x in rng.integers(32, 127, rl)]
+        chars = chars[:n]
+        buf = np.zeros(L, np.uint8)
+        buf[:n] = np.asarray(chars, np.uint8)
+        valid = jnp.arange(L) < n
+        cp = jnp.asarray(buf).astype(jnp.int32)
+        pk = ascii_packed_lookup(jnp.asarray(buf))
+        a = np.asarray(_char_boundaries(cp, valid, pk=pk))
+        b = np.asarray(_char_boundaries_general(cp, valid, pk))
+        assert (a == b).all(), (trial, bytes(chars))
+
+
+def test_compact_general_route_parity(tok, monkeypatch):
+    """Route-2 (general ASCII) batches through the compact pipeline."""
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder, host_route
+
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    texts = [
+        "double  spaces   and 12345 digit runs",
+        "tabs\tand\nnewlines\r\nmixed   up",
+        "  leading ws  ",
+        "big 1234567890 numbers",
+        "",
+        "   whitespace   handling   ",
+        "a",
+        "plain words too",
+    ]
+    buf, _ = enc.pack(texts)
+    assert host_route(buf) == 2
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_compact_utf8_route_parity(tok, monkeypatch):
+    """Route-3 (UTF-8) batches: XLA char path feeding the compact
+    kernel's external-boundary variant."""
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder, host_route
+
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    texts = [
+        "unicode: café naïve 中文 \U0001f600",
+        "Русский текст и עברית",
+        "mixed ascii and 日本語 words",
+        "emoji runs \U0001f600\U0001f601\U0001f602",
+        "",
+        "plain ascii row inside a utf-8 batch",
+        "ü",
+        "tricky   runs  12345 et café",
+    ]
+    buf, _ = enc.pack(texts)
+    assert host_route(buf) == 3
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_compact_route_fuzz(tok, monkeypatch):
+    """Random batches across all three routes through encode_batch (the
+    production path routes statically on host)."""
+    monkeypatch.setenv("TEKKEN_TPU_PALLAS", "1")
+    from tekken_tpu.ops.packed import PackedEncoder
+
+    enc = PackedEncoder(tok, rows=16, row_len=512)
+    rng = random.Random(17)
+    alpha = (string.ascii_letters + string.digits + " .,!?'\n\r\t"
+             + "中文日本語éü\U0001f600")
+    for _ in range(6):
+        texts = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(0, 150)))
+                 for _ in range(rng.randint(1, 16))]
+        got = enc.encode_batch(texts)
+        for t, g in zip(texts, got):
+            assert g == encode_ranks(t, tok.ranks), repr(t)

@@ -115,9 +115,9 @@ def main():
         cases.append(("boundaries", run_boundaries))
     stage_names = {1: "scans", 2: "+content-words", 3: "+word-probe",
                    35: "+token-base", 4: "+matrix-scatter",
-                   45: "+short-merge", 5: "+merge+unscatter",
-                   None: "full"}
-    for st in [1, 2, 3, 35, 4, 45, 5, None]:
+                   42: "+p3-probe", 45: "+short-merge",
+                   5: "+merge+unscatter", None: "full"}
+    for st in [1, 2, 3, 35, 4, 42, 45, 5, None]:
         if ("full" if st is None else str(st)) in sel:
             cases.append((stage_names[st], make_stage(st)))
 

@@ -45,6 +45,33 @@ TEXTS = [
     "trailing space ",
 ]
 
+# ASCII but NOT simple (ws runs > 1 / digit runs > 3): the static
+# general-ASCII route — exercises the compact kernel's in-kernel scan
+# rules (round 4)
+GENERAL_TEXTS = [
+    "double  spaces   and 12345 long digit runs",
+    "tabs\tand\nnewlines\r\nmixed   up",
+    "  leading and trailing whitespace  ",
+    "big number 1234567890 inline",
+    "",
+    "normal words between the runs",
+    "x",
+    "   whitespace   handling   ",
+]
+
+# contains non-ASCII: the static UTF-8 route — XLA char path feeding the
+# compact kernel externally (round 4)
+UTF8_TEXTS = [
+    "unicode: café naïve 中文 \U0001f600",
+    "Русский текст и עברית",
+    "mixed ascii and 日本語 words",
+    "emoji runs \U0001f600\U0001f601\U0001f602",
+    "",
+    "plain ascii row in a utf-8 batch",
+    "ü",
+    "combining á accents",
+]
+
 # qualifies for the static simple-ASCII route (no ws run > 1, no digit
 # run > 3) — exercises the piece-compact pipeline
 SIMPLE_TEXTS = [
@@ -144,7 +171,7 @@ def main():
     sys.stderr.write(f"[smoke] platform: {platform}\n")
 
     tok = build_tok()
-    from tekken_tpu.ops.pallas_boundary import pallas_enabled
+    from tekken_tpu.ops.pallas_stage1 import pallas_enabled
     os.environ.pop("TEKKEN_TPU_PALLAS", None)
     pallas_default_on = pallas_enabled()
 
@@ -170,6 +197,15 @@ def main():
         ("packed-compact-hostmerge", pallas_default_on,
          lambda: run_packed(tok, SIMPLE_TEXTS, wide=True, pallas=True,
                             host_merge=True, route=1)),
+        # round 4: the compact pipeline covers ALL routes — general
+        # ASCII (in-kernel scan rules) and UTF-8 (XLA char path feeding
+        # the kernel's external-boundary variant)
+        ("packed-compact-general", pallas_default_on,
+         lambda: run_packed(tok, GENERAL_TEXTS, wide=True, pallas=True,
+                            host_merge=False, route=2)),
+        ("packed-compact-utf8", pallas_default_on,
+         lambda: run_packed(tok, UTF8_TEXTS, wide=True, pallas=True,
+                            host_merge=False, route=3)),
     ]
 
     for name, gating, fn in variants:
