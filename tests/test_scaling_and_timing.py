@@ -46,3 +46,18 @@ def test_measure_scaling_virtual_devices():
     assert report.points[0].total_bytes > 0
     summ = report.summary()
     assert "scaling_efficiency" in summ
+
+
+def test_measure_dp_overhead_virtual_devices():
+    """The fixed-total-work dp-overhead sweep runs on a virtual mesh and
+    produces sane ratios (MULTICHIP_SCALE.json's metric)."""
+    from tekken_tpu.models import build_synthetic_tokenizer
+    from tekken_tpu.parallel.scaling import measure_dp_overhead
+
+    tok = build_synthetic_tokenizer(num_merges=200)
+    out = measure_dp_overhead(tok, device_counts=[1, 2], rows=8,
+                              row_len=256, iters=1, repeats=2)
+    assert out["total_bytes"] > 0
+    assert len(out["points"]) == 2
+    assert out["points"][0]["overhead_ratio_vs_single"] == 1.0
+    assert out["max_overhead_ratio"] > 0
