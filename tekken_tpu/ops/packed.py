@@ -429,7 +429,9 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
 
     # --- merge rounds + lane un-scatter (shared helper) ---
     tok_flat = _merge_buckets(
-        tok_base, byte_rank, nseg0, start0, (n_t, n_s, n_l),
+        tok_base, byte_rank,
+        lambda lo, rows: (nseg0[lo:lo + rows], start0[lo:lo + rows]),
+        (n_t, n_s, n_l),
         (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
     if _stage in (45, 5):
         return tok_flat
@@ -442,7 +444,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     return tok_flat, n_out, fb_start, fb_len, overflow
 
 
-def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
+def _merge_buckets(tok_base, byte_rank, rows_fn, counts,
                    caps, packed_table, dense_tab,
                    seed1: int, seed2: int, _stage=None):
     """Merge rounds + lane un-scatter (compact-shift layout, ops/bpe.py)
@@ -455,11 +457,19 @@ def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
     (cuckoo gather + fused round kernel, ops/pallas_merge.py) instead of
     ~12.
 
+    ``rows_fn(lo, rows) -> (n0, s0)`` materializes bucket rows
+    [lo, lo+rows) — piece length and flat byte start per row — INSIDE
+    the tier branch, so its cost is tier-sized, not capacity-sized (the
+    round-4 profile found NPT-sized pos/plen gathers costing ~5 ms at
+    B=512 for a near-empty bucket).  The flat path slices precomputed
+    arrays; the compact path unpacks its scatter words and gathers
+    geometry at `rows` granularity.
+
     ``counts``/``caps``: per-bucket piece counts and row capacities for
-    the P=4 / P=8 / P=32 buckets laid out consecutively in nseg0/start0.
-    The P=4 bucket exists because short misses dominate real corpora
-    (bench corpus: 100% of misses are 2-3 bytes) and its unrolled merge
-    is 3 rounds, not 7.
+    the P=4 / P=8 / P=32 buckets laid out consecutively.  The P=4 bucket
+    exists because short misses dominate real corpora (bench corpus:
+    100% of misses are 2-3 bytes) and its unrolled merge is 3 rounds,
+    not 7.
 
     With ``_stage`` set (45 = tiny+short buckets / 5 = all) returns a
     checksum scalar; otherwise the flat token stream."""
@@ -476,12 +486,11 @@ def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
     else:
         merge_rows = merge_rows_compact
 
-    def merge_tier(rows, P):
+    def merge_tier(lo, rows, P):
         pos = jnp.arange(P, dtype=jnp.int32)[None, :]
 
-        def run(args):
-            n0, s0, tok = args
-            n0, s0 = n0[:rows], s0[:rows]
+        def run(tok):
+            n0, s0 = rows_fn(lo, rows)
             lane_byte_pos = s0[:, None] + pos        # (rows, P)
             lane_in = (pos < n0[:, None]) & (s0[:, None] >= 0)
             # lane contents: gather piece bytes at start+lane (tier-sized)
@@ -503,33 +512,35 @@ def _merge_buckets(tok_base, byte_rank, nseg0, start0, counts,
                 jnp.where(lane_ok, r, -1), mode="drop")
         return run
 
-    def bucket_branch(tiers, P, count, n0, s0, tok):
+    def bucket_branch(tiers, P, count, lo, tok):
         tiers = sorted(set(tiers))
-        branch = merge_tier(tiers[-1], P)
+        branch = merge_tier(lo, tiers[-1], P)
         for rows in reversed(tiers[:-1]):
-            branch = (lambda small, big, rows: lambda args: jax.lax.cond(
-                count <= rows, small, big, args))(
-                    merge_tier(rows, P), branch, rows)
+            branch = (lambda small, big, rows: lambda t: jax.lax.cond(
+                count <= rows, small, big, t))(
+                    merge_tier(lo, rows, P), branch, rows)
         # empty bucket: skip every dispatch (real corpora often fill only
         # one bucket — e.g. the bench corpus misses are all 2-3 bytes)
-        return jax.lax.cond(count == 0, lambda args: args[2], branch,
-                            (n0, s0, tok))
+        return jax.lax.cond(count == 0, lambda t: t, branch, tok)
 
     n_t, n_s, n_l = counts
     NP4, NP8, NP32 = caps
     # tier counts trade compile time (each tier instantiates the merge
-    # loop) against wasted rows
+    # loop) against wasted rows.  Every ladder starts at 64: a bucket
+    # with a HANDFUL of misses must not pay a capacity-proportional tier
+    # (measured round 4: ONE 5-8-byte miss at B=512 ran an 8192-row
+    # 7-round matrix because the P=8 ladder bottomed out at NP8//4)
     tok_flat = bucket_branch(
-        [max(64, NP4 // 16), max(64, NP4 // 4), NP4], 4, n_t,
-        nseg0[:NP4], start0[:NP4], tok_base)
+        [64, max(64, NP4 // 16), max(64, NP4 // 4), NP4], 4, n_t,
+        0, tok_base)
     tok_flat = bucket_branch(
-        [max(64, NP8 // 4), NP8], P_SHORT, n_s,
-        nseg0[NP4:NP4 + NP8], start0[NP4:NP4 + NP8], tok_flat)
+        [64, max(64, NP8 // 16), max(64, NP8 // 4), NP8], P_SHORT, n_s,
+        NP4, tok_flat)
     if _stage == 45:  # + tiny+short bucket merges only
         return tok_flat.sum()
     tok_flat = bucket_branch(
-        [max(64, NP32 // 4), NP32], P_LANES, n_l,
-        nseg0[NP4 + NP8:], start0[NP4 + NP8:], tok_flat)
+        [64, max(64, NP32 // 4), NP32], P_LANES, n_l,
+        NP4 + NP8, tok_flat)
     if _stage == 5:  # + merge rounds + lane un-scatter
         return tok_flat.sum()
     return tok_flat
@@ -632,6 +643,11 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             plf = plc.reshape(-1)
             BC = B * C
             j = jnp.arange(BC, dtype=jnp.int32)
+            # GLOBAL compact index (row*R + col): C-tier-independent, so
+            # merge tiers can gather geometry from the (N,)-shaped
+            # pos_full/plf_full built once outside the C conds
+            jg = (row_base + jnp.arange(C, dtype=jnp.int32)[None, :]
+                  ).reshape(-1)
 
             if host_merge:
                 src = tokv.reshape(-1)
@@ -648,11 +664,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                 jj = jnp.clip(w >> 1, 0, BC - 1)
                 fb_start = jnp.where(live_r, pos[jj], -1)
                 fb_len = jnp.where(live_r, plf[jj], 0)
-                zs = jnp.zeros(NPT, jnp.int32)
-                return (tok, fb_start, fb_len, overflow,
-                        zs, jnp.full(NPT, -1, jnp.int32),
-                        jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                        jnp.zeros(NP3, jnp.int32), jnp.int32(0))
+                return (tok, fb_start, fb_len, overflow)
 
             # --- emit singles + hits into the flat token stream ---
             src = tokv.reshape(-1)
@@ -692,47 +704,57 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                                     NP4 + NP8 + id_l,
                                     jnp.where(m23f & (id_23 < NP3),
                                               NPM + id_23, NPT))))
+            # bucket rows pack the GLOBAL compact index (jg): geometry is
+            # gathered tier-sized inside the merge branches, so the
+            # bucket build has NO capacity-proportional gathers (the old
+            # NPT-sized pos/plf gathers were ~5 ms at B=512).  P23 rows
+            # pack the flat BYTE position instead (their tier re-reads
+            # bytes directly); their flag bit means "plen 3", not fb.
             word = jnp.where(
                 m23f, (pos << 2) | (is3f.astype(jnp.int32) << 1) | 1,
-                (j << 2) | (fb_piece.astype(jnp.int32) << 1) | 1)
+                (jg << 2) | (fb_piece.astype(jnp.int32) << 1) | 1)
             w = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
                 word, mode="drop")
-            live_r = (w & 1) == 1
-            jj = jnp.clip(w >> 2, 0, BC - 1)
-            # fb flag bit means "plen 3" in the P23 range — mask it out
-            ridx = jnp.arange(NPT, dtype=jnp.int32)
-            fb_r = live_r & ((w & 2) != 0) & (ridx < NPM)
-            start_r = jnp.where(live_r, pos[jj], -1)
-            plen_r = jnp.where(live_r, plf[jj], 0)
-            nseg0 = jnp.where(fb_r, 0, plen_r)
-            fb_start = jnp.where(fb_r, start_r, -1)
-            fb_len = jnp.where(fb_r, plen_r, 0)
-            start0 = jnp.where(live_r & ~fb_r, start_r, -1)
-            return (tok, fb_start, fb_len, overflow, nseg0, start0,
-                    n_t, n_s, n_l, w[NPM:], n_23)
+            return (tok, overflow, w, n_t, n_s, n_l, n_23)
         return run
 
     # C tiers: probe/emission/bucket costs are all (B*C)-proportional, so
-    # pick the smallest window covering the densest row
-    Cs = sorted({min(R, max(64, R // 8)), min(R, max(64, R // 4)),
-                 min(R, max(64, R // 2)), R})
+    # pick the smallest window covering the densest row.  x1.25 ladder:
+    # prose runs ~R/5.5 pieces per row (measured cmax 357 at R=2048), and
+    # the old {R/8, R/4, R/2, R} ladder made it pay for R/2 -- 43% wasted
+    # probe/emission/bucket rows.  Each tier compiles ~60 ops (no merge
+    # loops -- those tier separately); compile cost tracked in the bench.
+    Cs = sorted({min(R, max(64, int(R * f)))
+                 for f in (0.125, 0.15625, 0.1953125, 0.25, 0.3125,
+                           0.390625, 0.5, 0.625, 0.78125, 1.0)})
     branch = make_branch(Cs[-1])
     for Cv in reversed(Cs[:-1]):
         branch = (lambda small, big, Cv: lambda x: jax.lax.cond(
             cmax <= Cv, small, big, x))(make_branch(Cv), branch, Cv)
-    (tok, fb_start, fb_len, overflow, nseg0, start0,
-     n_t, n_s, n_l, w23, n_23) = branch(0)
+
+    if host_merge:
+        tok, fb_start, fb_len, overflow = branch(0)
+        if _stage == 3:  # + probe + emission
+            return tok.sum()
+        n_out = jnp.sum((tok >= 0).astype(jnp.int32))
+        if _stage in (35, 4, 45, 5):
+            return fb_start.sum() + fb_len.sum() + n_out
+        return tok, n_out, fb_start, fb_len, overflow
+
+    (tok, overflow, w, n_t, n_s, n_l, n_23) = branch(0)
     if _stage == 3:  # + probe + emission
         return tok.sum()
     if _stage in (35, 4):  # + bucket build
-        return (start0.sum() + nseg0.sum() + fb_start.sum()
-                + fb_len.sum() + tok.sum() + w23.sum() + n_23)
+        return tok.sum() + w.sum() + n_t + n_s + n_l + n_23
 
-    if host_merge:
-        n_out = jnp.sum((tok >= 0).astype(jnp.int32))
-        if _stage in (45, 5):
-            return fb_start.sum() + fb_len.sum() + n_out
-        return tok, n_out, fb_start, fb_len, overflow
+    # byte-positional piece geometry for the merge tiers and the fb
+    # records, derived ONCE from the stage-1 outputs (N-sized elementwise,
+    # no gathers; concatenated so a tier reads both halves in ONE gather)
+    rb_full = (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    pos_full = jnp.where(st >= 0, st + rb_full, -1).reshape(N)
+    geo_full = jnp.concatenate([pos_full, pl.reshape(N)])
+    NPM = NP4 + NP8 + NP32
+    w23 = w[NPM:]
 
     # --- 2-3-byte misses: fully resolved in a compact tier sized to the
     # actual count.  A 2-byte miss needs NO probe (its only pair's
@@ -787,7 +809,8 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             return t.at[jnp.where(ok, dst, N)].set(src, mode="drop")
         return run23
 
-    tiers3 = sorted({max(64, NP3 // 16), max(64, NP3 // 4), NP3})
+    tiers3 = sorted({64, max(64, NP3 // 64), max(64, NP3 // 16),
+                     max(64, NP3 // 4), NP3})
     b3 = p23_tier(tiers3[-1])
     for T in reversed(tiers3[:-1]):
         b3 = (lambda small, big, T: lambda t: jax.lax.cond(
@@ -796,13 +819,44 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
     if _stage == 42:  # + P23 probe/emit
         return tok.sum()
 
-    NPM = NP4 + NP8 + NP32
+    def rows_fn(lo, rows):
+        # unpack bucket rows [lo, lo+rows): jg -> (start, plen) via ONE
+        # tier-sized gather from geo_full (fb rows merge zero lanes)
+        wv = w[lo:lo + rows]
+        livev = (wv & 1) == 1
+        fbv = livev & ((wv & 2) != 0)
+        jjv = jnp.clip(wv >> 2, 0, N - 1)
+        g = geo_full[jnp.concatenate([jjv, jjv + N])]
+        sv, pv = g[:rows], g[rows:]
+        n0 = jnp.where(livev & ~fbv, pv, 0)
+        s0 = jnp.where(livev & ~fbv, sv, -1)
+        return n0, s0
+
     tok_flat = _merge_buckets(
-        tok, byte_rank, nseg0[:NPM], start0[:NPM], (n_t, n_s, n_l),
+        tok, byte_rank, rows_fn, (n_t, n_s, n_l),
         (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
     if _stage in (45, 5):
         return tok_flat
     n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
+
+    # fallback records (pieces > P_LANES) can only sit in the long
+    # bucket's rows; their geometry gathers are NP32-sized and skipped
+    # outright when the bucket is empty (the common case)
+    def fb_some(_):
+        wl = w[NP4 + NP8:NPM]
+        livel = (wl & 1) == 1
+        fbl = livel & ((wl & 2) != 0)
+        jjl = jnp.clip(wl >> 2, 0, N - 1)
+        g = geo_full[jnp.concatenate([jjl, jjl + N])]
+        s = jnp.where(fbl, g[:NP32], -1)
+        L = jnp.where(fbl, g[NP32:], 0)
+        return s, L
+
+    fb_start, fb_len = jax.lax.cond(
+        n_l == 0,
+        lambda _: (jnp.full(NP32, -1, jnp.int32),
+                   jnp.zeros(NP32, jnp.int32)),
+        fb_some, 0)
     return tok_flat, n_out, fb_start, fb_len, overflow
 
 
