@@ -157,8 +157,12 @@ def main():
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
     # np_cap counts vocab misses (~bytes/80 on this corpus) — N/16 leaves
-    # a wide margin, asserted after warmup.
-    B, R = int(os.environ.get("BENCH_ROWS", 128)), 2048
+    # a wide margin, asserted after warmup.  B=512 (1 MB batches) is the
+    # measured sweet spot: fixed per-op dispatch cost amortizes and every
+    # stage now scales with actual work, not capacity (round 4: 49.2 vs
+    # 45.3 MB/s at B=128; larger B raises compile time faster than it
+    # pays once the kernel is element-bound).
+    B, R = int(os.environ.get("BENCH_ROWS", 512)), 2048
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 

@@ -50,6 +50,15 @@ P_LANES = 32
 P_SHORT = 8
 
 
+def _use_p23() -> bool:
+    """A/B knob (TEKKEN_TPU_P23, default on): resolve 2-3-byte misses in
+    the one-probe P23 tier vs. the P=4 merge bucket.  Read at trace time;
+    part of the packed_encode_fn cache key."""
+    import os
+
+    return os.environ.get("TEKKEN_TPU_P23", "1") != "0"
+
+
 def default_np_cap(n_bytes: int) -> int:
     """Default merge-matrix row capacity for an n_bytes buffer (counts only
     ACTIVE pieces — multi-byte vocab misses).  The returned NP sizes the
@@ -678,10 +687,16 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             # super-linearly with batch).  Their scatter word packs the
             # FLAT BYTE POSITION (+ the plen-3 bit), so the tier re-reads
             # bytes from byte_rank and needs nothing at BC granularity.
-            m23f = (miss & (plc <= 3)).reshape(-1)
-            missf = (miss & (plc >= 4)).reshape(-1)
+            if _use_p23():
+                m23f = (miss & (plc <= 3)).reshape(-1)
+                missf = (miss & (plc >= 4)).reshape(-1)
+                tinym = missf & (plf == 4)
+            else:
+                # A/B knob: 2-3-byte misses ride the P=4 merge bucket
+                m23f = jnp.zeros(B * C, jnp.bool_)
+                missf = miss.reshape(-1)
+                tinym = missf & (plf <= 4)
             is3f = (miss & (plc == 3)).reshape(-1)
-            tinym = missf & (plf == 4)
             shortm = missf & (plf > 4) & (plf <= P_SHORT)
             longm = missf & (plf > P_SHORT)
             id_23 = jnp.cumsum(m23f.astype(jnp.int32)) - 1
@@ -869,12 +884,13 @@ def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
     from .pallas_stage1 import pallas_enabled
 
     return _packed_encode_fn(seed1, seed2, np_cap, wseed, host_merge,
-                             route, pallas_enabled())
+                             route, pallas_enabled(), _use_p23())
 
 
 @functools.lru_cache(maxsize=16)
 def _packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int,
-                      host_merge: bool, route: int | None, _pallas: bool):
+                      host_merge: bool, route: int | None, _pallas: bool,
+                      _p23: bool = True):
     import functools as ft
     import jax
 
