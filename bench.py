@@ -306,13 +306,14 @@ def main():
         sbuf[:stream.size] = stream
         jstream = jnp.asarray(sbuf)
         n_tok = jnp.int32(stream.size)
+        out_cap = dec.out_cap_for(stream)
         d_reps = int(os.environ.get("BENCH_DECODE_REPS", 32))
 
         @jax.jit
         def run_decode(toks, n, flat, offsets):
             def body(i, acc):
                 o, total = decode_bytes_impl(toks, n - (i & 1), flat,
-                                             offsets, dec._max_len)
+                                             offsets, out_cap)
                 return acc + total + o[0].astype(jnp.int32)
             return jax.lax.fori_loop(0, d_reps, body, jnp.int32(0))
 

@@ -445,6 +445,30 @@ int64_t tkn_merge_spans(void* h, const uint8_t* buf, const int32_t* starts,
   return cnt;
 }
 
+// Decode a rank stream into concatenated bytes (the reference's decode
+// byte concatenation, src/tekkenizer.rs:548-557; UTF-8/policy handling
+// stays in Python).  Returns byte total; -1 on output overflow, -2 when
+// the engine was built without a decode table, -3 on an out-of-range
+// rank.  memcpy-bound: one thread saturates memory bandwidth.
+int64_t tkn_decode(void* h, const int32_t* ranks, int64_t n, uint8_t* out,
+                   int64_t out_cap) {
+  Engine& e = *(Engine*)h;
+  if (e.vocab_off.empty()) return -2;
+  const int64_t n_ranks = (int64_t)e.vocab_off.size() - 1;
+  const uint8_t* flat = e.vocab_flat.data();
+  int64_t w = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t r = ranks[i];
+    if (r < 0 || r >= n_ranks) return -3;
+    int32_t lo = e.vocab_off[r];
+    int32_t len = e.vocab_off[r + 1] - lo;
+    if (w + len > out_cap) return -1;
+    std::memcpy(out + w, flat + lo, (size_t)len);
+    w += len;
+  }
+  return w;
+}
+
 // Encode a batch in parallel. docs: concatenated bytes; offsets: n_docs+1.
 // out: caller buffer of total byte length; out_offsets: n_docs+1 (filled).
 int64_t tkn_encode_batch(void* h, const uint8_t* docs, const int64_t* offsets,

@@ -42,6 +42,9 @@ def _load():
     lib.tkn_merge_spans.argtypes = [ctypes.c_void_p, _i8p, _i32p, _i32p,
                                     ctypes.c_int64, _i32p, _i32p,
                                     ctypes.c_int64]
+    lib.tkn_decode.restype = ctypes.c_int64
+    lib.tkn_decode.argtypes = [ctypes.c_void_p, _i32p, ctypes.c_int64,
+                               _i8p, ctypes.c_int64]
     return lib
 
 
@@ -112,6 +115,23 @@ class NativeEncoder:
         if total < 0:
             raise RuntimeError("native merge_spans overflow")
         return out[:total], cnts
+
+    def decode_ranks(self, ranks: np.ndarray) -> bytes:
+        """Engine ranks -> concatenated bytes (memcpy-speed host decode;
+        reference byte semantics, src/tekkenizer.rs:548-557).  Raises on
+        out-of-range ranks; returns b"" for an empty stream."""
+        ranks = np.ascontiguousarray(ranks, dtype=np.int32)
+        n = ranks.size
+        if n == 0:
+            return b""
+        if int(ranks.min()) < 0 or int(ranks.max()) + 1 >= self._voff.size:
+            raise ValueError("native decode: rank out of range")
+        cap = int((self._voff[ranks + 1] - self._voff[ranks]).sum())
+        out = np.empty(max(1, cap), dtype=np.uint8)
+        total = _LIB.tkn_decode(self._h, ranks, n, out, cap)
+        if total < 0:
+            raise ValueError(f"native decode failed (code {total})")
+        return out[:total].tobytes()
 
     def encode_batch(self, texts: Sequence[str], n_threads: int = 0):
         datas = [t.encode("utf-8") for t in texts]

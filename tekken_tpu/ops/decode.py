@@ -1,14 +1,26 @@
-"""Batched device decode: token ids -> byte stream via span gathers.
+"""Batched device decode: token ids -> byte stream, output-proportional.
 
 The reference's decode concatenates rank byte-spans with lossy UTF-8
 (reference: src/tekkenizer.rs:548-557).  Here the byte materialization is a
-device op: for each token, gather its span from the flat vocab byte array
-(DecodeTable, replicated in HBM) into an output byte buffer; UTF-8
-decoding/policy handling stays on host (it is inherently stringy).
+device op; UTF-8 decoding/policy handling stays on host (inherently
+stringy).
 
-Layout: each token expands to at most ``max_token_len`` bytes; the kernel
-computes exact output offsets with a cumsum and scatters bytes at
-(offset + lane) positions, masked by span length.
+Kernel design (round 5 — the round-4 kernel scattered T x max_token_len
+lanes, mostly masked waste: 20 MB/s in-jit).  Decode is re-cast as a
+GATHER per OUTPUT byte, the TPU-native expansion idiom:
+
+  1. per-token spans: start/length from the offsets table (2 gathers of
+     T rows), exclusive cumsum -> out_off
+  2. head markers: scatter token index i at out_off[i] (ONE width-1
+     T-source scatter), then a native cummax fills t_j = "token owning
+     output byte j" (token indices are non-decreasing along the output)
+  3. src_j = (start - out_off)[t_j] + j, out_j = flat32[src_j] — two
+     width-1 gathers per output byte, both at the fast width-1 rate
+     (~700 M rows/s on v5e vs ~85 M rows/s for the old lane scatter)
+
+Every op is proportional to the OUTPUT CAPACITY (a power-of-two bucket
+over the actual byte total, chosen host-side from the numpy offsets
+table), never to T x max_token_len.
 """
 
 from __future__ import annotations
@@ -18,13 +30,17 @@ import functools
 import numpy as np
 
 
-def decode_bytes_impl(tokens, n_tokens, flat, offsets, max_token_len: int):
+def decode_bytes_impl(tokens, n_tokens, flat32, offsets, out_cap: int):
     """tokens i32[T] (engine ranks; padding ignored beyond n_tokens) ->
-    (bytes u8[T*max_token_len] left-aligned, total_len)."""
+    (bytes u8[out_cap] left-aligned, total_len).  ``flat32`` is the
+    decode-table byte array widened to int32 (width-1 gathers lower best
+    in int32); ``out_cap`` a static output capacity >= the byte total
+    (callers bucket it; bytes past total are zero)."""
+    import jax
     import jax.numpy as jnp
 
     T = tokens.shape[0]
-    L = max_token_len
+    M = out_cap
 
     valid = jnp.arange(T, dtype=jnp.int32) < n_tokens
     tok = jnp.where(valid, tokens, 0)
@@ -34,22 +50,27 @@ def decode_bytes_impl(tokens, n_tokens, flat, offsets, max_token_len: int):
     out_off = jnp.cumsum(length) - length          # exclusive prefix sum
     total = jnp.sum(length)
 
-    lane = jnp.arange(L, dtype=jnp.int32)[None, :]          # (1, L)
-    src = start[:, None] + lane                             # (T, L)
-    ok = lane < length[:, None]
-    vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
-    dst = jnp.where(ok, out_off[:, None] + lane, T * L)
-    out = jnp.zeros(T * L, dtype=jnp.uint8).at[dst.reshape(-1)].set(
-        vals.reshape(-1), mode="drop")
+    # head markers + cummax fill: t_j = index of the token owning byte j
+    ii = jnp.arange(T, dtype=jnp.int32)
+    head = jnp.zeros(M, jnp.int32).at[
+        jnp.where(valid & (length > 0), out_off, M)].set(ii, mode="drop")
+    t_j = jax.lax.cummax(head)
+
+    # source byte address per output byte
+    d = start - out_off                            # i32[T]
+    j = jnp.arange(M, dtype=jnp.int32)
+    src = d[t_j] + j
+    vals = flat32[jnp.clip(src, 0, flat32.shape[0] - 1)]
+    out = jnp.where(j < total, vals, 0).astype(jnp.uint8)
     return out, total
 
 
-@functools.lru_cache(maxsize=8)
-def decode_bytes_fn(max_token_len: int):
+@functools.lru_cache(maxsize=32)
+def decode_bytes_fn(out_cap: int):
     import functools as ft
     import jax
 
-    return jax.jit(ft.partial(decode_bytes_impl, max_token_len=max_token_len))
+    return jax.jit(ft.partial(decode_bytes_impl, out_cap=out_cap))
 
 
 class DeviceDecoder:
@@ -59,8 +80,9 @@ class DeviceDecoder:
         import jax.numpy as jnp
 
         dt = tokenizer.decode_table
-        self._flat = jnp.asarray(dt.flat)
+        self._flat = jnp.asarray(dt.flat.astype(np.int32))
         self._offsets = jnp.asarray(dt.offsets)
+        self._np_offsets = np.asarray(dt.offsets)
         self._max_len = max(1, int(dt.max_token_len))
         self._cap = capacity
 
@@ -72,20 +94,30 @@ class DeviceDecoder:
                              f"{self._cap}")
         return self.decode_stream(ranks)
 
+    def out_cap_for(self, chunk: np.ndarray) -> int:
+        """Power-of-two output-byte bucket for a rank chunk (host-side
+        numpy total over the offsets table)."""
+        offs = self._np_offsets
+        total = int((offs[chunk + 1] - offs[chunk]).sum())
+        cap = 256
+        while cap < total:
+            cap <<= 1
+        return cap
+
     def decode_stream(self, ranks: np.ndarray) -> bytes:
         """Engine ranks of any length -> concatenated bytes; streams in
         capacity-sized device calls (bytes concatenate freely, so chunking
         at token granularity is exact).
 
-        Buffers are power-of-two BUCKETED (256..capacity), not padded to
-        the full capacity: a 10-token decode launches a 256-row kernel, not
-        a 64K-row one (jax.jit caches one executable per bucket shape)."""
+        Buffers are power-of-two BUCKETED on both the token count
+        (256..capacity) and the output byte total, so a small decode
+        launches a small kernel (jax.jit caches one executable per
+        bucket pair)."""
         import jax.numpy as jnp
 
         ranks = np.asarray(ranks, dtype=np.int32)
         if ranks.size == 0:
             return b""
-        fn = decode_bytes_fn(self._max_len)
         parts = []
         for lo in range(0, ranks.size, self._cap):
             chunk = ranks[lo:lo + self._cap]
@@ -94,7 +126,9 @@ class DeviceDecoder:
                 cap <<= 1
             buf = np.zeros(cap, dtype=np.int32)
             buf[:chunk.size] = chunk
+            fn = decode_bytes_fn(self.out_cap_for(chunk))
             out, total = fn(jnp.asarray(buf), chunk.size, self._flat,
                             self._offsets)
-            parts.append(np.asarray(out)[:int(total)].tobytes())
+            parts.append(np.asarray(out)[:int(total)]
+                         .astype(np.uint8).tobytes())
         return b"".join(parts)

@@ -163,8 +163,10 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
 
     Returns (tok i32[N] — tok[i] >= 0 is the token whose piece starts at
     flat byte i, in byte order, uncompacted; n_out,
-    fb_start i32[NP] byte offsets of fallback pieces (-1 = none),
-    fb_len i32[NPT], overflow i32).  Fallback pieces (longer than P_LANES
+    fb_start / fb_len i32 byte offsets+lengths of fallback pieces (-1/0 =
+    none; sized per path: NPT on the flat device-merge path, NP32 on the
+    compact device-merge path, NP in host-merge mode — consumers must be
+    shape-agnostic), overflow i32).  Fallback pieces (longer than P_LANES
     and not vocab tokens) produce no tokens on device; the host splices
     oracle results at their positions.  overflow != 0 means a merge-bucket
     capacity overflow: some active pieces could not even be recorded, and

@@ -104,11 +104,14 @@ class DistributedEncoder:
         total_bytes, total_tokens); tok is the dp-sharded uncompacted token
         stream — tok[i] >= 0 is the token whose piece starts at flat byte i.
         """
-        # one jitted step per (route, pallas) variant; pallas_enabled is
-        # part of the key for the same staleness reason as
-        # ops/packed.packed_encode_fn
+        # one jitted step per (route, pallas, p23) variant; pallas_enabled
+        # and _use_p23 are part of the key for the same staleness reason as
+        # ops/packed.packed_encode_fn (both are read at trace time; a
+        # toggled env knob must not serve a stale trace of the other
+        # pipeline variant — ADVICE r3/r4)
+        from ..ops.packed import _use_p23
         from ..ops.pallas_stage1 import pallas_enabled
-        key = (route, pallas_enabled())
+        key = (route, pallas_enabled(), _use_p23())
         step = self._steps.get(key)
         if step is None:
             step = self._steps[key] = self._build_step(route)

@@ -329,15 +329,22 @@ class Tekkenizer:
 
     def decode_batch(self, token_lists,
                      special_token_policy: SpecialTokenPolicy) -> list[str]:
-        """Batched decode through the device gather path (TPU-native
-        extension): all non-special runs across the batch are concatenated
-        into ONE rank stream, their bytes materialized by device span
-        gathers (ops/decode.py), and run/policy semantics (the reference's
-        decode_all grouping, src/tekkenizer.rs:463-560) reassembled on
-        host.  Falls back to the per-token host loop if the device decoder
-        is unavailable."""
-        dec = self._get_device_decoder()
-        if dec is None:
+        """Batched decode: all non-special runs across the batch are
+        concatenated into ONE rank stream, their bytes materialized in one
+        engine call, and run/policy semantics (the reference's decode_all
+        grouping, src/tekkenizer.rs:463-560) reassembled on host.
+
+        Byte materialization engine: the native C++ engine by default
+        (memcpy-speed span concatenation — decoded text is a host artifact,
+        so a device round-trip only adds transfer cost), else the device
+        gather kernel (ops/decode.py — the right engine when decoded bytes
+        feed device post-processing; force it with
+        TEKKEN_TPU_DECODE_BYTES=device), else the per-token host loop."""
+        native = None
+        if os.environ.get("TEKKEN_TPU_DECODE_BYTES", "native") != "device":
+            native = self._get_native_encoder()
+        dec = None if native is not None else self._get_device_decoder()
+        if native is None and dec is None:
             return [self.decode(t, special_token_policy) for t in token_lists]
 
         import numpy as np
@@ -390,15 +397,20 @@ class Tekkenizer:
         byte_cuts = rank_ord = None
         if ranks_all.size:
             stream = ranks_all.astype(np.int32)
-            try:
-                data = dec.decode_stream(stream)
-            except Exception as e:
-                # runtime (first-call jit) failure: loud fallback, same
-                # policy as encode_batch (VERDICT.md round-2 weak #2)
-                self._device_decoder = False
-                self._engine_failed("device-decode", e, device_path=True)
-                return [self.decode(t, special_token_policy)
-                        for t in token_lists]
+            if native is not None:
+                data = native.decode_ranks(stream)
+                self._last_engine = "native-decode"
+            else:
+                try:
+                    data = dec.decode_stream(stream)
+                    self._last_engine = "device-decode"
+                except Exception as e:
+                    # runtime (first-call jit) failure: loud fallback, same
+                    # policy as encode_batch (VERDICT.md round-2 weak #2)
+                    self._device_decoder = False
+                    self._engine_failed("device-decode", e, device_path=True)
+                    return [self.decode(t, special_token_policy)
+                            for t in token_lists]
             offs = self._decode_table.offsets
             tok_bytes = (offs[stream + 1] - offs[stream]).astype(np.int64)
             byte_cuts = np.concatenate(([0], np.cumsum(tok_bytes)))

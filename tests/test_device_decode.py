@@ -83,3 +83,43 @@ def test_device_decoder_stream_chunks(tok):
     rng = np.random.RandomState(3)
     ranks = rng.randint(0, len(tok.ranks), size=333).astype(np.int32)
     assert dec.decode_stream(ranks) == decode_bytes(ranks, tok.decode_table)
+
+
+def test_native_decode_ranks_matches_table():
+    """Native tkn_decode concatenates exactly the decode-table spans and
+    rejects out-of-range ranks."""
+    import numpy as np
+    import pytest
+    from tekken_tpu.models import build_synthetic_tokenizer
+
+    tok = build_synthetic_tokenizer(num_merges=80)
+    ne = tok._get_native_encoder()
+    if ne is None:
+        pytest.skip("native engine unavailable")
+    dt = tok.decode_table
+    rng = np.random.default_rng(7)
+    n_ranks = len(dt.offsets) - 1
+    ranks = rng.integers(0, n_ranks, 500, dtype=np.int32)
+    want = b"".join(dt.token_bytes(int(r)) for r in ranks)
+    assert ne.decode_ranks(ranks) == want
+    assert ne.decode_ranks(np.empty(0, np.int32)) == b""
+    with pytest.raises(ValueError):
+        ne.decode_ranks(np.asarray([n_ranks], np.int32))
+    with pytest.raises(ValueError):
+        ne.decode_ranks(np.asarray([-1], np.int32))
+
+
+def test_decode_batch_engine_used_native():
+    """decode_batch routes byte materialization to the native engine by
+    default and records it in engine_used."""
+    from tekken_tpu.models import build_synthetic_tokenizer
+    from tekken_tpu.special_tokens import SpecialTokenPolicy
+
+    tok = build_synthetic_tokenizer(num_merges=80)
+    if tok._get_native_encoder() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+    ids = tok.encode("hello world", False, False)
+    out = tok.decode_batch([ids], SpecialTokenPolicy.IGNORE)
+    assert out == ["hello world"]
+    assert tok.engine_used == "native-decode"

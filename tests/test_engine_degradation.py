@@ -107,6 +107,9 @@ def test_decoder_call_time_poison_falls_back(monkeypatch):
 
     monkeypatch.setattr(decode.DeviceDecoder, "decode_stream", boom)
     monkeypatch.delenv("TEKKEN_TPU_REQUIRE_DEVICE", raising=False)
+    # decode_batch prefers the native engine for byte materialization;
+    # force the device path so the poisoned kernel is actually called
+    monkeypatch.setenv("TEKKEN_TPU_DECODE_BYTES", "device")
     tok = build_synthetic_tokenizer(num_merges=50)
     ids = tok.encode("hello world", False, False)
     with warnings.catch_warnings(record=True) as w:

@@ -362,3 +362,18 @@ def test_packed_forced_routes_parity(tok):
         for i, t in enumerate(texts):
             assert st[pos[cut[i]:cut[i + 1]]].tolist() == \
                 encode_ranks(t, tok.ranks), (route, t)
+
+
+def test_packed_p23_off_parity(tok, monkeypatch):
+    """TEKKEN_TPU_P23=0 (the A/B baseline: 2-3-byte misses ride the P=4
+    merge bucket instead of the one-probe tier) stays oracle-exact on the
+    forced-route cases (ADVICE r4)."""
+    monkeypatch.setenv("TEKKEN_TPU_P23", "0")
+    from tekken_tpu.ops.packed import PackedEncoder, _use_p23
+    assert not _use_p23()
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    texts = ["hello world", "it's a test 12 3", "zq xw vk", "a b c!",
+             "中文 mixed", "naïve café"]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
