@@ -166,11 +166,15 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     fb_start / fb_len i32 byte offsets+lengths of fallback pieces (-1/0 =
     none; sized per path: NPT on the flat device-merge path, NP32 on the
     compact device-merge path, NP in host-merge mode — consumers must be
-    shape-agnostic), overflow i32).  Fallback pieces (longer than P_LANES
-    and not vocab tokens) produce no tokens on device; the host splices
-    oracle results at their positions.  overflow != 0 means a merge-bucket
-    capacity overflow: some active pieces could not even be recorded, and
-    the host must re-encode the whole batch.
+    shape-agnostic), overflow i32, row_bad i32[B]).  Fallback pieces
+    (longer than P_LANES and not vocab tokens) produce no tokens on
+    device; the host splices oracle results at their positions.
+    overflow != 0 means a merge-bucket capacity overflow: some active
+    pieces could not even be recorded.  A dropped piece corrupts ONLY its
+    own document row — bucket ids are batch-global but piece records are
+    row-local — so row_bad marks exactly the rows holding dropped pieces
+    and the host re-encodes those rows alone (VERDICT r4 item 6: a
+    whole-batch fallback let one hot doc stall a host at pod scale).
     """
     import jax
     import jax.numpy as jnp
@@ -383,7 +387,10 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
         n_out = jnp.sum((tok_base >= 0).astype(jnp.int32))
         if _stage in (4, 5):
             return fb_start.sum() + fb_len.sum() + n_out
-        return tok_base, n_out, fb_start, fb_len, overflow
+        dropped = mp_mark & (fb_id >= NP)
+        row_bad = jnp.zeros(B, jnp.int32).at[
+            jnp.where(dropped, idx // R, B)].set(1, mode="drop")
+        return tok_base, n_out, fb_start, fb_len, overflow, row_bad
 
     # --- active pieces (vocab misses) get a merge matrix, SPLIT BY PIECE
     # LENGTH: a P=4 bucket (short misses dominate — 3 unrolled rounds),
@@ -452,7 +459,10 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # pass, while the device scatters it replaces cost two N-source
     # scatter passes — and the readback halves.
     n_out = jnp.sum((tok_flat >= 0).astype(jnp.int32))
-    return tok_flat, n_out, fb_start, fb_len, overflow
+    dropped = mp_mark & (tgt_row == NPT)
+    row_bad = jnp.zeros(B, jnp.int32).at[
+        jnp.where(dropped, idx // R, B)].set(1, mode="drop")
+    return tok_flat, n_out, fb_start, fb_len, overflow, row_bad
 
 
 def _merge_buckets(tok_base, byte_rank, rows_fn, counts,
@@ -675,7 +685,10 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                 jj = jnp.clip(w >> 1, 0, BC - 1)
                 fb_start = jnp.where(live_r, pos[jj], -1)
                 fb_len = jnp.where(live_r, plf[jj], 0)
-                return (tok, fb_start, fb_len, overflow)
+                dropped = missf & (fb_id >= NP)
+                row_bad = jnp.zeros(B, jnp.int32).at[
+                    jnp.where(dropped, pos // R, B)].set(1, mode="drop")
+                return (tok, fb_start, fb_len, overflow, row_bad)
 
             # --- emit singles + hits into the flat token stream ---
             src = tokv.reshape(-1)
@@ -732,7 +745,10 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
                 (jg << 2) | (fb_piece.astype(jnp.int32) << 1) | 1)
             w = jnp.zeros(NPT, jnp.int32).at[tgt_row].set(
                 word, mode="drop")
-            return (tok, overflow, w, n_t, n_s, n_l, n_23)
+            dropped = miss.reshape(-1) & (tgt_row == NPT)
+            row_bad = jnp.zeros(B, jnp.int32).at[
+                jnp.where(dropped, pos // R, B)].set(1, mode="drop")
+            return (tok, overflow, w, n_t, n_s, n_l, n_23, row_bad)
         return run
 
     # C tiers: probe/emission/bucket costs are all (B*C)-proportional, so
@@ -750,15 +766,15 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             cmax <= Cv, small, big, x))(make_branch(Cv), branch, Cv)
 
     if host_merge:
-        tok, fb_start, fb_len, overflow = branch(0)
+        tok, fb_start, fb_len, overflow, row_bad = branch(0)
         if _stage == 3:  # + probe + emission
             return tok.sum()
         n_out = jnp.sum((tok >= 0).astype(jnp.int32))
         if _stage in (35, 4, 45, 5):
             return fb_start.sum() + fb_len.sum() + n_out
-        return tok, n_out, fb_start, fb_len, overflow
+        return tok, n_out, fb_start, fb_len, overflow, row_bad
 
-    (tok, overflow, w, n_t, n_s, n_l, n_23) = branch(0)
+    (tok, overflow, w, n_t, n_s, n_l, n_23, row_bad) = branch(0)
     if _stage == 3:  # + probe + emission
         return tok.sum()
     if _stage in (35, 4):  # + bucket build
@@ -874,7 +890,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
         lambda _: (jnp.full(NP32, -1, jnp.int32),
                    jnp.zeros(NP32, jnp.int32)),
         fb_some, 0)
-    return tok_flat, n_out, fb_start, fb_len, overflow
+    return tok_flat, n_out, fb_start, fb_len, overflow, row_bad
 
 
 def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
@@ -991,6 +1007,7 @@ class PackedEncoder:
         self._np_cap = (np_cap if np_cap is not None
                         else default_np_cap(rows * row_len))
         self._ranks = tokenizer.ranks
+        self._tokenizer = tokenizer   # row-overflow host re-encode
         if merge not in ("host", "device"):
             raise ValueError(f"merge must be 'host' or 'device': {merge!r}")
         self._host_merge = merge == "host"
@@ -1018,8 +1035,6 @@ class PackedEncoder:
     def encode_batch(self, texts):
         import jax.numpy as jnp
 
-        from ..oracle import encode_ranks
-
         buf, lengths = self.pack(texts)
         # Static host routing: at B=128 the device cond chain measured
         # slightly faster (round-3 early A/B: 30.8 vs 32.8 MB/s), but at
@@ -1031,12 +1046,15 @@ class PackedEncoder:
         fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
                               self._wseed, self._host_merge,
                               host_route(buf))
-        tok, n_out, fb_start, fb_len, overflow = fn(
+        tok, n_out, fb_start, fb_len, overflow, row_bad = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)
+        bad_rows: set[int] = set()
         if int(overflow):
-            # capacity overflow (adversarial batch): full host fallback
-            return [encode_ranks(t, self._ranks) for t in texts]
+            # bucket-capacity overflow (adversarial batch): a dropped
+            # piece corrupts only its own row, so re-encode EXACTLY the
+            # flagged rows on host and keep the device tokens elsewhere
+            bad_rows = set(np.flatnonzero(np.asarray(row_bad)).tolist())
         tok = np.asarray(tok)
         out_pos = np.flatnonzero(tok >= 0).astype(np.int64)
         out = tok[out_pos]
@@ -1051,4 +1069,20 @@ class PackedEncoder:
 
         rows = out_pos // self._R
         cut = np.searchsorted(rows, np.arange(len(texts) + 1))
-        return [out[cut[i]:cut[i + 1]].tolist() for i in range(len(texts))]
+        result = []
+        for i, t in enumerate(texts):
+            if i in bad_rows:
+                result.append(self._host_encode(t))
+            else:
+                result.append(out[cut[i]:cut[i + 1]].tolist())
+        return result
+
+    def _host_encode(self, text: str) -> list[int]:
+        """Exact host re-encode for overflow rows (native engine when
+        built, else the scalar oracle)."""
+        from ..oracle import encode_ranks
+        tok = self._tokenizer
+        native = tok._get_native_encoder() if tok is not None else None
+        if native is not None:
+            return native.encode(text)
+        return encode_ranks(text, self._ranks)

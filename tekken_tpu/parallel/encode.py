@@ -39,8 +39,10 @@ class DistributedEncoder:
             raise ValueError(f"merge must be 'host' or 'device': {merge!r}")
         self._host_merge = merge == "host"
         native = tokenizer._get_native_encoder()
+        self._native = native
         self._merge_fn = (native.merge_spans if native is not None
                           else oracle_merge_fn(tokenizer.ranks))
+        self.last_overflow_rows = 0  # psum'd count from the last batch
 
         table = tokenizer.cuckoo_table()
         self._seed1 = int(table.seed1)
@@ -67,20 +69,24 @@ class DistributedEncoder:
         ws, hm = self._wseed, self._host_merge
 
         def shard_fn(byts, lengths, packed, dense, wrows):
-            tok, n_out, fb_start, fb_len, overflow = packed_encode_impl(
+            (tok, n_out, fb_start, fb_len, overflow,
+             row_bad) = packed_encode_impl(
                 byts, lengths, packed, dense, wrows,
                 seed1, seed2, wseed=ws, np_cap=cap, host_merge=hm,
                 route=route)
             total_bytes = jax.lax.psum(jax.numpy.sum(lengths), "dp")
             total_tokens = jax.lax.psum(n_out, "dp")
+            # pod-visible overflow observability (VERDICT r4 item 6):
+            # operators see how many document rows fell back to host
+            overflow_rows = jax.lax.psum(jax.numpy.sum(row_bad), "dp")
             return (tok, n_out[None], fb_start, fb_len, overflow[None],
-                    total_bytes, total_tokens)
+                    row_bad, total_bytes, total_tokens, overflow_rows)
 
         kwargs = dict(
             mesh=self.mesh,
             in_specs=(P("dp", None), P("dp"), P(), P(), P()),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                       P(), P()),
+                       P("dp"), P(), P(), P()),
         )
         try:
             sharded = shard_map(shard_fn, check_vma=False, **kwargs)
@@ -101,8 +107,11 @@ class DistributedEncoder:
         device cond chain (callers that never see the data).
 
         Returns (tok, n_out_per_shard, fb_start, fb_len, overflow_per_shard,
-        total_bytes, total_tokens); tok is the dp-sharded uncompacted token
-        stream — tok[i] >= 0 is the token whose piece starts at flat byte i.
+        row_bad, total_bytes, total_tokens, overflow_rows); tok is the
+        dp-sharded uncompacted token stream — tok[i] >= 0 is the token
+        whose piece starts at flat byte i; row_bad marks document rows
+        whose pieces overflowed the merge buckets (host re-encodes exactly
+        those), and overflow_rows is their psum'd global count.
         """
         # one jitted step per (route, pallas, p23) variant; pallas_enabled
         # and _use_p23 are part of the key for the same staleness reason as
@@ -141,9 +150,9 @@ class DistributedEncoder:
         # route predicates are ~free in numpy): simple-ASCII corpora take
         # the piece-compact pipeline on every shard
         from ..ops.packed import host_route
-        (tok, n_out, fb_start, fb_len, overflow, total_bytes,
-         total_tokens) = self.encode_step(buf, lengths,
-                                          route=host_route(buf))
+        (tok, n_out, fb_start, fb_len, overflow, row_bad, total_bytes,
+         total_tokens, overflow_rows) = self.encode_step(
+             buf, lengths, route=host_route(buf))
 
         n_shards = self.mesh.devices.size
         rows_per_shard = self._B // n_shards
@@ -152,23 +161,22 @@ class DistributedEncoder:
         n_out = np.asarray(n_out)
         fb_start = np.asarray(fb_start)
         fb_len = np.asarray(fb_len)
-        overflow = np.asarray(overflow)
+        row_bad = np.asarray(row_bad)
         flat = buf.reshape(-1)
+
+        def host_encode_row(row: int) -> list[int]:
+            data = flat[row * self._R:
+                        row * self._R + lengths[row]].tobytes()
+            text = data.decode("utf-8")
+            native = self._native
+            if native is not None:
+                return native.encode(text)
+            from ..oracle import encode_ranks
+            return encode_ranks(text, self._ranks)
 
         docs: list[list[int]] = []
         corrected = False  # host fallbacks change the device token counts
         for s in range(n_shards):
-            if overflow[s]:
-                corrected = True
-                # capacity overflow on this shard: re-encode its rows on host
-                from ..oracle import encode_ranks
-                for r in range(rows_per_shard):
-                    row = s * rows_per_shard + r
-                    data = flat[row * self._R:
-                                row * self._R + lengths[row]].tobytes()
-                    docs.append(encode_ranks(data.decode("utf-8"),
-                                             self._ranks))
-                continue
             stok = tok[s * shard_n:(s + 1) * shard_n]
             pos = np.flatnonzero(stok >= 0).astype(np.int64)
             block = stok[pos]
@@ -186,9 +194,18 @@ class DistributedEncoder:
             rows = pos // self._R  # local row within shard
             cut = np.searchsorted(rows, np.arange(rows_per_shard + 1))
             for r in range(rows_per_shard):
-                docs.append(block[cut[r]:cut[r + 1]].tolist())
+                row = s * rows_per_shard + r
+                if row_bad[row]:
+                    # bucket overflow corrupts only this row: re-encode it
+                    # alone on host (VERDICT r4 item 6 — the shard's other
+                    # rows keep their device tokens)
+                    corrected = True
+                    docs.append(host_encode_row(row))
+                else:
+                    docs.append(block[cut[r]:cut[r + 1]].tolist())
 
         docs = docs[:len(texts)]
         n_tokens = (sum(len(d) for d in docs) if corrected
                     else int(total_tokens))
+        self.last_overflow_rows = int(overflow_rows)
         return docs, int(total_bytes), n_tokens

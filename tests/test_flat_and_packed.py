@@ -377,3 +377,50 @@ def test_packed_p23_off_parity(tok, monkeypatch):
     got = enc.encode_batch(texts)
     for t, g in zip(texts, got):
         assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_overflow_is_row_local(tok):
+    """On bucket-capacity overflow only the flagged rows take the host
+    path; clean rows keep device tokens (VERDICT r4 item 6).  Parity is
+    checked for every doc either way."""
+    import jax.numpy as jnp
+    from tekken_tpu.ops.packed import (PackedEncoder, host_route,
+                                       packed_encode_fn)
+
+    enc = PackedEncoder(tok, rows=4, row_len=512, np_cap=64)
+    # row 0: "qx"/" qx" are vocab MISSES (2-3 bytes) — 100 of them
+    # overflow the tiny cap; rows 1-2 are pure whole-piece hits
+    texts = ["qx " * 100, "hello hello", " hello hello"]
+    buf, lengths = enc.pack(texts)
+    fn = packed_encode_fn(enc._seed1, enc._seed2, enc._np_cap,
+                          enc._wseed, False, host_route(buf))
+    out = fn(jnp.asarray(buf), jnp.asarray(lengths), enc._packed,
+             enc._dense, enc._word_rows)
+    assert int(out[4]) == 1          # overflow flagged
+    row_bad = np.asarray(out[5])
+    assert row_bad[0] == 1           # the hot row
+    assert row_bad[1:].sum() == 0    # clean rows not flagged
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_distributed_overflow_row_fallback_and_counter(tok):
+    """One shard overflows: only its flagged rows re-encode on host, the
+    psum'd overflow_rows counter is exact, and every doc stays exact."""
+    import jax
+    from tekken_tpu.parallel.encode import DistributedEncoder
+    from tekken_tpu.parallel.mesh import make_dp_mesh
+
+    n = min(4, len(jax.devices()))
+    mesh = make_dp_mesh(n)
+    enc = DistributedEncoder(tok, mesh=mesh, rows=2 * n, row_len=512,
+                             np_cap=64)
+    texts = ["qx " * 100] + \
+        ["hello hello there" for _ in range(2 * n - 1)]
+    docs, total_bytes, n_tokens = enc.encode_batch(texts)
+    for t, g in zip(texts, docs):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+    assert enc.last_overflow_rows == 1
+    assert total_bytes == sum(len(t.encode("utf-8")) for t in texts)
+    assert n_tokens == sum(len(d) for d in docs)

@@ -99,9 +99,10 @@ def main():
                     enc._seed1, enc._seed2, wseed=enc._wseed,
                     np_cap=enc._np_cap, route=route, _stage=stage)
                 if stage is None:
-                    tok, n_out, fb_s, fb_l, overflow = r
+                    tok, n_out, fb_s, fb_l, overflow, row_bad = r
                     r = (tok.sum() + n_out
-                         + fb_s.sum() + fb_l.sum() + overflow)
+                         + fb_s.sum() + fb_l.sum() + overflow
+                         + row_bad.sum())
                 return acc + r
             return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
         return run
