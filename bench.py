@@ -207,9 +207,15 @@ def main():
             "would be incomplete")
         sys.stderr.write(f"[bench] compile+warmup {time.time()-t2:.1f}s on "
                          f"{jax.devices()[0].platform}; n_out {n0}\n")
-        # full parity of the device token stream, once, untimed
+        # full parity of the device token stream, once, untimed (fb spans
+        # — vocab misses past the device-merge length limit — are host-
+        # spliced exactly as PackedEncoder.encode_batch does)
+        from tekken_tpu.ops.packed import oracle_merge_fn, splice_host_merges
         st = np.asarray(out[0])
-        got_ranks = st[st >= 0]
+        pos0 = np.flatnonzero(st >= 0).astype(np.int64)
+        got_ranks, got_pos = splice_host_merges(
+            st[pos0], pos0, buf.reshape(-1), np.asarray(out[2]),
+            np.asarray(out[3]), oracle_merge_fn(tok.ranks))
         want = []
         for d in docs:
             want.extend(encode_ranks(d, tok.ranks))
@@ -277,11 +283,10 @@ def main():
         from tekken_tpu.special_tokens import SpecialTokenPolicy
         shift = tok.num_special_tokens()
         if out is not None:
-            tok_np = np.asarray(out[0])
-            ranks = tok_np[tok_np >= 0]
-            rows = (np.flatnonzero(tok_np >= 0) // R)
+            # the spliced stream (device tokens + host-merged fb spans)
+            rows = got_pos // R
             cut = np.searchsorted(rows, np.arange(B + 1))
-            id_lists = [(ranks[cut[i]:cut[i + 1]] + shift).tolist()
+            id_lists = [(got_ranks[cut[i]:cut[i + 1]] + shift).tolist()
                         for i in range(B)]
         else:
             id_lists = [[r + shift for r in encode_ranks(d, tok.ranks)]

@@ -59,6 +59,23 @@ def _use_p23() -> bool:
     return os.environ.get("TEKKEN_TPU_P23", "1") != "0"
 
 
+def _fb_len_limit() -> int:
+    """Max piece length merged ON DEVICE; longer vocab misses are recorded
+    as fb spans for the host's bulk merge (the same splice machinery that
+    always handled > P_LANES pieces).  Default 8: misses > 8 bytes are so
+    rare on real corpora (bench corpus at B=512: ~1 per MB) that a single
+    one used to hold the P=32 merge bucket's while_loop hostage for up to
+    ~10 rounds of launch latency (round-5 profile: the long bucket charged
+    ~6 ms/MB for ~1 piece).  TEKKEN_TPU_DEVICE_LONG=1 restores full
+    on-device merging (P_LANES limit) for serving shapes where tokens must
+    stay device-resident.  Read at trace time; part of the
+    packed_encode_fn cache key."""
+    import os
+
+    return P_LANES if os.environ.get("TEKKEN_TPU_DEVICE_LONG") == "1" \
+        else P_SHORT
+
+
 def default_np_cap(n_bytes: int) -> int:
     """Default merge-matrix row capacity for an n_bytes buffer (counts only
     ACTIVE pieces — multi-byte vocab misses).  The returned NP sizes the
@@ -416,9 +433,11 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     # capacity overflow => the host re-encodes the whole batch (exact)
     overflow = ((n_t > NP4) | (n_s > NP8) | (n_l > NP32)).astype(jnp.int32)
 
-    # oversize pieces (> P_LANES lanes) own a LONG row but contribute no
-    # lanes: the host splices oracle results at their recorded spans
-    fb_piece = long_mark & (plen > P_LANES)
+    # oversize pieces (> the device-merge length limit) own a LONG row but
+    # contribute no lanes: the host splices merge results at their spans
+    FBL = _fb_len_limit()
+    fb_piece = long_mark & (plen > FBL)
+    n_lm = jnp.sum((long_mark & (plen <= FBL)).astype(jnp.int32))
 
     row_write_t = tiny_mark & (id_t < NP4)
     row_write_s = short_mark & (id_s < NP8)
@@ -449,7 +468,7 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
     tok_flat = _merge_buckets(
         tok_base, byte_rank,
         lambda lo, rows: (nseg0[lo:lo + rows], start0[lo:lo + rows]),
-        (n_t, n_s, n_l),
+        (n_t, n_s, n_lm),
         (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
     if _stage in (45, 5):
         return tok_flat
@@ -724,7 +743,9 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             n_l = jnp.sum(longm.astype(jnp.int32))
             overflow = ((n_23 > NP3) | (n_t > NP4) | (n_s > NP8)
                         | (n_l > NP32)).astype(jnp.int32)
-            fb_piece = longm & (plf > P_LANES)
+            FBL = _fb_len_limit()
+            fb_piece = longm & (plf > FBL)
+            n_lm = jnp.sum((longm & (plf <= FBL)).astype(jnp.int32))
 
             NPM = NP4 + NP8 + NP32
             tgt_row = jnp.where(
@@ -748,7 +769,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             dropped = miss.reshape(-1) & (tgt_row == NPT)
             row_bad = jnp.zeros(B, jnp.int32).at[
                 jnp.where(dropped, pos // R, B)].set(1, mode="drop")
-            return (tok, overflow, w, n_t, n_s, n_l, n_23, row_bad)
+            return (tok, overflow, w, n_t, n_s, n_l, n_lm, n_23, row_bad)
         return run
 
     # C tiers: probe/emission/bucket costs are all (B*C)-proportional, so
@@ -774,7 +795,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             return fb_start.sum() + fb_len.sum() + n_out
         return tok, n_out, fb_start, fb_len, overflow, row_bad
 
-    (tok, overflow, w, n_t, n_s, n_l, n_23, row_bad) = branch(0)
+    (tok, overflow, w, n_t, n_s, n_l, n_lm, n_23, row_bad) = branch(0)
     if _stage == 3:  # + probe + emission
         return tok.sum()
     if _stage in (35, 4):  # + bucket build
@@ -866,7 +887,7 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
         return n0, s0
 
     tok_flat = _merge_buckets(
-        tok, byte_rank, rows_fn, (n_t, n_s, n_l),
+        tok, byte_rank, rows_fn, (n_t, n_s, n_lm),
         (NP4, NP8, NP32), packed_table, dense_tab, seed1, seed2, _stage)
     if _stage in (45, 5):
         return tok_flat
@@ -902,13 +923,14 @@ def packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int = 0,
     from .pallas_stage1 import pallas_enabled
 
     return _packed_encode_fn(seed1, seed2, np_cap, wseed, host_merge,
-                             route, pallas_enabled(), _use_p23())
+                             route, pallas_enabled(), _use_p23(),
+                             _fb_len_limit())
 
 
 @functools.lru_cache(maxsize=16)
 def _packed_encode_fn(seed1: int, seed2: int, np_cap, wseed: int,
                       host_merge: bool, route: int | None, _pallas: bool,
-                      _p23: bool = True):
+                      _p23: bool = True, _fbl: int = P_SHORT):
     import functools as ft
     import jax
 
@@ -931,6 +953,22 @@ def host_route(buf: np.ndarray) -> int:
     if (is_n[:, 3:] & is_n[:, 2:-1] & is_n[:, 1:-2] & is_n[:, :-3]).any():
         return 2
     return 1
+
+
+def doc_routes(buf: np.ndarray) -> np.ndarray:
+    """Per-ROW routing: host_route's predicates evaluated row-locally
+    (pieces never cross rows, so a row's route depends only on its own
+    bytes).  Returns int8[B]; host_route(buf) == doc_routes(buf).max()
+    for non-empty buffers."""
+    r = np.ones(buf.shape[0], np.int8)
+    is_w = (buf == 32) | ((buf >= 9) & (buf <= 13))
+    ws2 = (is_w[:, 1:] & is_w[:, :-1]).any(axis=1)
+    is_n = (buf >= 48) & (buf <= 57)
+    dig4 = (is_n[:, 3:] & is_n[:, 2:-1] & is_n[:, 1:-2]
+            & is_n[:, :-3]).any(axis=1)
+    r[ws2 | dig4] = 2
+    r[(buf >= 0x80).any(axis=1)] = 3
+    return r
 
 
 def splice_host_merges(out, out_pos, flat, fb_start, fb_len, merge_fn,
@@ -1033,7 +1071,7 @@ class PackedEncoder:
         return buf, lengths
 
     def encode_batch(self, texts):
-        import jax.numpy as jnp
+        import os
 
         buf, lengths = self.pack(texts)
         # Static host routing: at B=128 the device cond chain measured
@@ -1043,9 +1081,48 @@ class PackedEncoder:
         # at large shapes), so production routes on the host; the numpy
         # predicates are ~free and bit-identical.  In-jit callers that
         # cannot see the data (the distributed path) keep the cond chain.
-        fn = packed_encode_fn(self._seed1, self._seed2, self._np_cap,
-                              self._wseed, self._host_merge,
-                              host_route(buf))
+        #
+        # Routing is PER ROW GROUP (round 5, VERDICT r4 item 4): one CJK
+        # doc in a 512-doc batch used to demote the whole 1 MB buffer to
+        # the route-3 byte-granular char path.  Docs are grouped by their
+        # own route and each minority group runs in a power-of-two
+        # sub-batch of its own shape, so the majority group keeps its fast
+        # route.  TEKKEN_TPU_GROUP_ROUTES=0 restores batch-global routing.
+        routes = doc_routes(buf)[:len(texts)]
+        distinct = sorted(set(routes.tolist())) if len(texts) else [1]
+        if (len(distinct) <= 1
+                or os.environ.get("TEKKEN_TPU_GROUP_ROUTES", "1") == "0"):
+            return self._encode_buffer(buf, lengths, len(texts),
+                                       host_route(buf))
+        result: list[list[int] | None] = [None] * len(texts)
+        for r in distinct:
+            idx = np.flatnonzero(routes == r)
+            Bg = 8
+            while Bg < idx.size:
+                Bg <<= 1
+            Bg = min(Bg, self._B)
+            for lo in range(0, idx.size, Bg):
+                sel = idx[lo:lo + Bg]
+                sub_buf = np.zeros((Bg, self._R), dtype=np.uint8)
+                sub_buf[:sel.size] = buf[sel]
+                sub_len = np.zeros(Bg, dtype=np.int32)
+                sub_len[:sel.size] = lengths[sel]
+                sub_out = self._encode_buffer(sub_buf, sub_len, sel.size,
+                                              int(r))
+                for j, i in enumerate(sel):
+                    result[int(i)] = sub_out[j]
+        return result
+
+    def _encode_buffer(self, buf, lengths, n_docs: int, route: int):
+        """Run the kernel on one packed (Bg, R) buffer with a static
+        route; splice fb spans and host-re-encode overflow rows."""
+        import jax.numpy as jnp
+
+        Bg = buf.shape[0]
+        np_cap = (self._np_cap if Bg == self._B
+                  else max(64, self._np_cap * Bg // self._B))
+        fn = packed_encode_fn(self._seed1, self._seed2, np_cap,
+                              self._wseed, self._host_merge, route)
         tok, n_out, fb_start, fb_len, overflow, row_bad = fn(
             jnp.asarray(buf), jnp.asarray(lengths), self._packed,
             self._dense, self._word_rows)
@@ -1060,7 +1137,7 @@ class PackedEncoder:
         out = tok[out_pos]
 
         # host merge of recorded spans (all misses in host mode; only
-        # oversize pieces in device mode)
+        # pieces past the device-merge length limit in device mode)
         fb_start = np.asarray(fb_start)
         fb_len = np.asarray(fb_len)
         merge_fn = self._merge_fn or oracle_merge_fn(self._ranks)
@@ -1068,11 +1145,12 @@ class PackedEncoder:
             out, out_pos, buf.reshape(-1), fb_start, fb_len, merge_fn)
 
         rows = out_pos // self._R
-        cut = np.searchsorted(rows, np.arange(len(texts) + 1))
+        cut = np.searchsorted(rows, np.arange(n_docs + 1))
         result = []
-        for i, t in enumerate(texts):
+        for i in range(n_docs):
             if i in bad_rows:
-                result.append(self._host_encode(t))
+                data = buf[i, :lengths[i]].tobytes()
+                result.append(self._host_encode(data.decode("utf-8")))
             else:
                 result.append(out[cut[i]:cut[i + 1]].tolist())
         return result

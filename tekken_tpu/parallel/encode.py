@@ -118,9 +118,9 @@ class DistributedEncoder:
         # ops/packed.packed_encode_fn (both are read at trace time; a
         # toggled env knob must not serve a stale trace of the other
         # pipeline variant — ADVICE r3/r4)
-        from ..ops.packed import _use_p23
+        from ..ops.packed import _fb_len_limit, _use_p23
         from ..ops.pallas_stage1 import pallas_enabled
-        key = (route, pallas_enabled(), _use_p23())
+        key = (route, pallas_enabled(), _use_p23(), _fb_len_limit())
         step = self._steps.get(key)
         if step is None:
             step = self._steps[key] = self._build_step(route)

@@ -609,10 +609,13 @@ class Tekkenizer:
             from .errors import InvalidConfigError
             from .vocab import WordDirectMap
 
-            # 8-wide rows gather FASTER than 4-wide on v5e (243 vs 157
-            # M rows/s, CLAUDE.md round-2 measurements) and extend the
-            # fast path to 24-byte tokens, so wide is the default; set
-            # TEKKEN_TPU_WIDE_WORDS=0 for the narrow table.  Either
+            # Width is AUTO by default (round 5): the wide (8-dword) rows
+            # exist only to cover 13-24-byte tokens, so a vocab whose
+            # tokens all fit 12 bytes gets the narrow table — half the
+            # row bytes and three fewer dword compares per probe (the
+            # gather itself is rows-bound at compact shapes: 67 M rows/s
+            # for W=4 and W=8 alike, tools/bench_probe_shapes.py).
+            # TEKKEN_TPU_WIDE_WORDS=1/0 forces wide/narrow-first; either
             # preference cascades to the other variant before giving up
             # (a failed preferred build — e.g. no collision-free seed —
             # should not force the host fallback if the other table
@@ -622,7 +625,11 @@ class Tekkenizer:
             # slots only ever hold greedy-stable tokens — exactness is
             # unconditional) for gather locality.
             spe = int(os.environ.get("TEKKEN_TPU_WORD_SLOTS", "16"))
-            if os.environ.get("TEKKEN_TPU_WIDE_WORDS", "1") != "0":
+            pref = os.environ.get("TEKKEN_TPU_WIDE_WORDS")
+            if pref is None:
+                max_tok = max((len(b) for b in self._ranks), default=1)
+                pref = "1" if max_tok > 12 else "0"
+            if pref != "0":
                 try:
                     self._word_map = WordDirectMap.build(
                         self._ranks, wide=True, slots_per_entry=spe)

@@ -424,3 +424,46 @@ def test_distributed_overflow_row_fallback_and_counter(tok):
     assert enc.last_overflow_rows == 1
     assert total_bytes == sum(len(t.encode("utf-8")) for t in texts)
     assert n_tokens == sum(len(d) for d in docs)
+
+
+def test_doc_routes_row_local():
+    import numpy as np
+    from tekken_tpu.ops.packed import doc_routes, host_route
+
+    def pack(texts, R=128):
+        buf = np.zeros((len(texts), R), np.uint8)
+        for i, t in enumerate(texts):
+            d = t.encode()
+            buf[i, :len(d)] = np.frombuffer(d, np.uint8)
+        return buf
+
+    buf = pack(["hello world", "double  space", "run 12345", "中文 mixed",
+                ""])
+    assert doc_routes(buf).tolist() == [1, 2, 2, 3, 1]
+    assert host_route(buf) == 3  # batch-global = max of rows
+
+
+def test_packed_route_grouping_parity(tok):
+    """A mixed batch (1 CJK doc among ASCII prose) groups per-doc routes
+    and stays oracle-exact; disabling grouping gives the same output."""
+    from tekken_tpu.ops.packed import PackedEncoder
+
+    enc = PackedEncoder(tok, rows=16, row_len=256)
+    texts = ["hello world"] * 5 + ["中文 doc"] + ["double  space"] + \
+        ["it's a test 12 3", "", "qx vk zz"]
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_route_grouping_off_matches(tok, monkeypatch):
+    from tekken_tpu.ops.packed import PackedEncoder
+
+    enc = PackedEncoder(tok, rows=16, row_len=256)
+    texts = ["hello world", "中文 doc", "double  space", "qx"]
+    got_on = enc.encode_batch(texts)
+    monkeypatch.setenv("TEKKEN_TPU_GROUP_ROUTES", "0")
+    got_off = enc.encode_batch(texts)
+    assert got_on == got_off
+    for t, g in zip(texts, got_on):
+        assert g == encode_ranks(t, tok.ranks), repr(t)

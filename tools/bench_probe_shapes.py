@@ -95,6 +95,25 @@ def main():
         return acc
     bench("gcols", loop(gcols))
 
+    def gflat(ix):
+        # ONE width-1 gather of all W columns (indices concatenated):
+        # per-op overhead amortizes over W*BC rows
+        ixf = ix.reshape(-1)
+        allix = jnp.concatenate([ixf * W + k for k in range(W)])
+        return tflat[allix].sum(dtype=jnp.int32)
+    bench("gflat", loop(gflat))
+
+    def grow2(ix):
+        # row gather at HALF width from a (2S, W//2) reshape: two rows per
+        # logical row, fetched in one gather of 2BC rows
+        if W % 2:
+            return jnp.int32(0)
+        t2 = table.reshape(2 * S, W // 2)
+        ixf = ix.reshape(-1)
+        allix = jnp.concatenate([ixf * 2, ixf * 2 + 1])
+        return t2[allix].sum(dtype=jnp.int32)
+    bench("grow2", loop(grow2))
+
     def scat(salt):
         def it(i, acc):
             dst = (pos + i + salt) % N
