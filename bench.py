@@ -157,12 +157,12 @@ def main():
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
     # np_cap counts vocab misses (~bytes/80 on this corpus) — N/16 leaves
-    # a wide margin, asserted after warmup.  B=512 (1 MB batches) is the
-    # measured sweet spot: fixed per-op dispatch cost amortizes and every
-    # stage now scales with actual work, not capacity (round 4: 49.2 vs
-    # 45.3 MB/s at B=128; larger B raises compile time faster than it
-    # pays once the kernel is element-bound).
-    B, R = int(os.environ.get("BENCH_ROWS", 512)), 2048
+    # a wide margin, asserted after warmup.  B=1024 (2 MB batches) is the
+    # round-5 sweet spot: the row-gather rate itself rises with batch
+    # (interleaved sweep, tools/bench_batchscale.py: 56.5 / 69.2 / 73.1
+    # MB/s at B=512/1024/2048), and past 2 MB the +6% stops paying for
+    # compile time and HBM footprint.
+    B, R = int(os.environ.get("BENCH_ROWS", 1024)), 2048
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
@@ -269,6 +269,105 @@ def main():
         sys.stderr.write(f"[bench] DEVICE PATH FAILED — degrading to host "
                          f"variants: {device_error}\n")
 
+    # --- route-2 / route-3 / mixed-corpus device throughput (VERDICT r4
+    # item 4: the headline measured only the best-case route; these pin
+    # the general-ASCII and UTF-8 kernels and the per-doc-group routing
+    # on a 1%-non-ASCII corpus).  BENCH_ROUTES=0 skips. ---
+    route_bps = {}
+    mixed_ratio = None
+    if bps is not None and os.environ.get("BENCH_ROUTES", "1") != "0":
+        try:
+            import functools as ft
+
+            import jax
+            import jax.numpy as jnp
+            from tekken_tpu.ops.packed import host_route, packed_encode_impl
+
+            def make_runner(route2, np_cap2):
+                @jax.jit
+                def run2(byts, lens, packed, dense, wrows):
+                    def body(i, acc):
+                        o = packed_encode_impl(
+                            byts, lens - (i & 1), packed, dense, wrows,
+                            enc._seed1, enc._seed2, wseed=enc._wseed,
+                            np_cap=np_cap2, route=route2)
+                        return acc + o[1]
+                    return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+                return run2
+
+            def measure(texts2, want_route, label, rows=B):
+                buf2 = np.zeros((rows, R), dtype=np.uint8)
+                lens2 = np.zeros(rows, dtype=np.int32)
+                for i, t in enumerate(texts2):
+                    d = t.encode("utf-8")
+                    buf2[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+                    lens2[i] = len(d)
+                assert host_route(buf2) == want_route, label
+                # parity spot check through the public grouped path
+                got2 = enc.encode_batch(texts2[:2]) if rows == B else None
+                if got2 is not None:
+                    for d, g in zip(texts2[:2], got2):
+                        assert g == encode_ranks(d, tok.ranks), label
+                cap2 = max(64, enc._np_cap * rows // B)
+                run2 = make_runner(want_route, cap2)
+                jb2, jl2 = jnp.asarray(buf2), jnp.asarray(lens2)
+                t0 = time.time()
+                _ = int(run2(jb2, jl2, *tables))
+                compile_s[f"route{want_route}_{label}"] = round(
+                    time.time() - t0, 1)
+                t0 = time.time()
+                _ = int(run2(jb2, jl2, *tables))
+                dt2 = (time.time() - t0) / reps
+                nbytes2 = int(lens2.sum())
+                return nbytes2 / dt2, dt2
+
+            r2x = random.Random(77)
+            docs2 = []
+            for d in docs:
+                parts = d.split(" ")
+                for k in range(3, len(parts), 7):
+                    parts[k] += " "          # ws run of 2 when joined
+                parts.insert(0, str(r2x.randint(10000, 99999)))
+                docs2.append(" ".join(parts)[:R])
+            route_bps["route2"], _ = measure(docs2, 2, "general-ascii")
+            sys.stderr.write(f"[bench] route-2 (general ASCII): "
+                             f"{route_bps['route2']/1e6:.1f} MB/s\n")
+
+            r3x = random.Random(88)
+            cjk = "中文字符测试数据漢字"
+            docs3 = []
+            for d in docs:
+                parts = d.split(" ")[:-8]
+                for k in range(2, len(parts), 9):
+                    parts[k] = r3x.choice(cjk) + parts[k]
+                docs3.append(" ".join(parts)[:R - 64])
+            route_bps["route3"], _ = measure(docs3, 3, "utf8")
+            sys.stderr.write(f"[bench] route-3 (UTF-8): "
+                             f"{route_bps['route3']/1e6:.1f} MB/s\n")
+
+            # mixed corpus: 1% of docs get one CJK char -> per-doc-group
+            # routing runs the majority at route 1 plus one small route-3
+            # call; ratio vs pure route 1 on the same total bytes
+            n_mix = max(1, B // 100)
+            docs_m1 = docs[:B - n_mix]
+            docs_m3 = [d[:R - 8] + "中" for d in docs[B - n_mix:]]
+            bps_m1, dt_m1 = measure(docs_m1, 1, "mixed-major", rows=B)
+            rows3 = 8
+            while rows3 < n_mix:
+                rows3 <<= 1
+            bps_m3, dt_m3 = measure(docs_m3, 3, "mixed-minor", rows=rows3)
+            mixed_bytes = (sum(len(d.encode()) for d in docs_m1)
+                           + sum(len(d.encode()) for d in docs_m3))
+            mixed_bps = mixed_bytes / (dt_m1 + dt_m3)
+            mixed_ratio = round((dt_m1 + dt_m3) / dt_in, 3)
+            route_bps["mixed_1pct_nonascii"] = mixed_bps
+            sys.stderr.write(
+                f"[bench] mixed corpus (1% non-ASCII): "
+                f"{mixed_bps/1e6:.1f} MB/s ({mixed_ratio:.2f}x pure "
+                f"route-1 time)\n")
+        except Exception as e:
+            sys.stderr.write(f"[bench] route sweep unavailable: {e}\n")
+
     # decode throughput.  Two numbers:
     #  - device_decode (headline): the decode KERNEL in-jit (fori_loop,
     #    bytes stay device-resident — the serving shape where decoded
@@ -296,10 +395,14 @@ def main():
         sys.stderr.write("[bench] decode_batch parity on all docs OK\n")
         out_bytes = sum(len(t.encode("utf-8")) for t in texts_out)
 
-        # in-jit kernel measurement (device-resident bytes)
+        # in-jit kernel measurement (device-resident bytes); same engine
+        # selection as DeviceDecoder.decode_stream (Pallas block-compact
+        # kernel when available, else the XLA delta-cumsum kernel)
         import jax
         import jax.numpy as jnp
-        from tekken_tpu.ops.decode import decode_bytes_impl
+        from tekken_tpu.ops.decode import (decode_bytes_impl,
+                                           decode_bytes_pallas_impl)
+        from tekken_tpu.ops.pallas_stage1 import pallas_enabled
         dec = tok._get_device_decoder()
         stream = np.concatenate(
             [np.asarray(ids, np.int64) - shift for ids in id_lists]
@@ -314,17 +417,25 @@ def main():
         out_cap = dec.out_cap_for(stream)
         d_reps = int(os.environ.get("BENCH_DECODE_REPS", 32))
 
+        use_pallas_dec = dec._sw4 is not None and pallas_enabled()
+
         @jax.jit
-        def run_decode(toks, n, flat, offsets):
+        def run_decode(toks, n, t1, t2):
             def body(i, acc):
-                o, total = decode_bytes_impl(toks, n - (i & 1), flat,
-                                             offsets, out_cap)
+                if use_pallas_dec:
+                    o, total = decode_bytes_pallas_impl(
+                        toks, n - (i & 1), t1, t2, out_cap, dec._sw4)
+                else:
+                    o, total = decode_bytes_impl(toks, n - (i & 1), t1,
+                                                 t2, out_cap)
                 return acc + total + o[0].astype(jnp.int32)
             return jax.lax.fori_loop(0, d_reps, body, jnp.int32(0))
 
-        _ = int(run_decode(jstream, n_tok, dec._flat, dec._offsets))
+        dtabs = ((dec._bytes32, dec._lentab) if use_pallas_dec
+                 else (dec._flat, dec._offsets))
+        _ = int(run_decode(jstream, n_tok, *dtabs))
         t5 = time.time()
-        _ = int(run_decode(jstream, n_tok, dec._flat, dec._offsets))
+        _ = int(run_decode(jstream, n_tok, *dtabs))
         decode_bps = out_bytes / ((time.time() - t5) / d_reps)
         sys.stderr.write(f"[bench] device decode kernel (in-jit): "
                          f"{decode_bps/1e6:.1f} MB/s\n")
@@ -386,6 +497,16 @@ def main():
                 round(decode_api_bps, 1) if decode_api_bps else None),
             "native_host_engine_bytes_per_sec": (
                 round(native_bps, 1) if native_bps else None),
+            "route2_bytes_per_sec": (
+                round(route_bps["route2"], 1)
+                if "route2" in route_bps else None),
+            "route3_bytes_per_sec": (
+                round(route_bps["route3"], 1)
+                if "route3" in route_bps else None),
+            "mixed_1pct_nonascii_bytes_per_sec": (
+                round(route_bps["mixed_1pct_nonascii"], 1)
+                if "mixed_1pct_nonascii" in route_bps else None),
+            "mixed_vs_route1_time_ratio": mixed_ratio,
             "device_error": device_error,
             # compile-time tracking (VERDICT r3 weak #7): the compact
             # pipeline multiplies cond branches; regressions show here

@@ -139,7 +139,9 @@ def flat_encode_impl(byts, lengths, key_left, key_right, values,
 
         idx = jnp.arange(N, dtype=jnp.int32)
         col = idx % R
-        valid = col < lengths[idx // R]
+        # 2D broadcast compare, not lengths[idx // R] (an N-index gather)
+        valid = (jnp.arange(R, dtype=jnp.int32)[None, :]
+                 < lengths[:, None]).reshape(N)
 
         piece_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
         rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)

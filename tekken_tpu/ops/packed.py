@@ -217,7 +217,13 @@ def packed_encode_impl(byts, lengths, packed_table, dense_tab, word_rows,
                                host_merge, route, _stage)
 
     idx = jnp.arange(N, dtype=jnp.int32)
-    valid = (idx % R) < lengths[idx // R]
+    # row validity as a 2D broadcast compare — NEVER lengths[idx // R]:
+    # that innocent spelling is an N-index gather (~70 M indices/s on
+    # v5e => ~10 ms/MB, the round-5 "in-situ anomaly": stage cuts DCE'd
+    # it until the first byte_rank consumer, charging it to the miss-
+    # resolution stage)
+    valid = (jnp.arange(R, dtype=jnp.int32)[None, :]
+             < lengths[:, None]).reshape(N)
     byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
 
     if wseed:
@@ -645,7 +651,13 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
     cmax = jnp.max(cnt)
 
     idx = jnp.arange(N, dtype=jnp.int32)
-    valid = (idx % R) < lengths[idx // R]
+    # row validity as a 2D broadcast compare — NEVER lengths[idx // R]:
+    # that innocent spelling is an N-index gather (~70 M indices/s on
+    # v5e => ~10 ms/MB, the round-5 "in-situ anomaly": stage cuts DCE'd
+    # it until the first byte_rank consumer, charging it to the miss-
+    # resolution stage)
+    valid = (jnp.arange(R, dtype=jnp.int32)[None, :]
+             < lengths[:, None]).reshape(N)
     byte_rank = jnp.where(valid, byts.reshape(N).astype(jnp.int32), -1)
 
     NP4 = NP
@@ -778,9 +790,19 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
     # the old {R/8, R/4, R/2, R} ladder made it pay for R/2 -- 43% wasted
     # probe/emission/bucket rows.  Each tier compiles ~60 ops (no merge
     # loops -- those tier separately); compile cost tracked in the bench.
-    Cs = sorted({min(R, max(64, int(R * f)))
-                 for f in (0.125, 0.15625, 0.1953125, 0.25, 0.3125,
-                           0.390625, 0.5, 0.625, 0.78125, 1.0)})
+    import os as _os
+    _cl = _os.environ.get("TEKKEN_TPU_C_LADDER")
+    if _cl == "flat":
+        # experiment knob: ONE static window (no conds) — in-situ cost
+        # bisect of the C ladder itself
+        Cs = [min(R, 512)]
+    elif _cl:
+        Cs = sorted({min(R, max(64, int(R * float(f))))
+                     for f in _cl.split(",")})
+    else:
+        Cs = sorted({min(R, max(64, int(R * f)))
+                     for f in (0.125, 0.15625, 0.1953125, 0.25, 0.3125,
+                               0.390625, 0.5, 0.625, 0.78125, 1.0)})
     branch = make_branch(Cs[-1])
     for Cv in reversed(Cs[:-1]):
         branch = (lambda small, big, Cv: lambda x: jax.lax.cond(
@@ -863,8 +885,14 @@ def _compact_encode(byts, lengths, packed_table, dense_tab, word_rows,
             return t.at[jnp.where(ok, dst, N)].set(src, mode="drop")
         return run23
 
-    tiers3 = sorted({64, max(64, NP3 // 64), max(64, NP3 // 16),
-                     max(64, NP3 // 4), NP3})
+    import os
+    if os.environ.get("TEKKEN_TPU_P23_TIER1"):
+        # experiment knob: flat two-tier ladder (in-situ cost bisect —
+        # the 5-tier ladder is suspected of blocking XLA scheduling)
+        tiers3 = sorted({max(64, NP3 // 4), NP3})
+    else:
+        tiers3 = sorted({64, max(64, NP3 // 64), max(64, NP3 // 16),
+                         max(64, NP3 // 4), NP3})
     b3 = p23_tier(tiers3[-1])
     for T in reversed(tiers3[:-1]):
         b3 = (lambda small, big, T: lambda t: jax.lax.cond(

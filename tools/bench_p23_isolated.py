@@ -138,6 +138,38 @@ def main():
         return jax.lax.cond(n23j == 0, lambda tt: tt, br, t)
     bench("full", full)
 
+    def benchsum(name, body):
+        @jax.jit
+        def outer(salt):
+            def it(i, acc):
+                t = jnp.full(N, -1, jnp.int32)
+                t = body(t, i + salt)
+                return acc + t.sum()
+            return jax.lax.fori_loop(0, REPS, it, jnp.int32(0))
+        _ = int(outer(0))
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            _ = int(outer(1))
+            dt = (time.time() - t0) / REPS
+            best = dt if best is None else min(best, dt)
+        print(f"{name:6s} {best*1e3:7.3f} ms", flush=True)
+
+    # full ladder but with the kernel's FULL-ARRAY checksum (stage cuts
+    # reduce tok.sum(), not two elements)
+    benchsum("fsum", full)
+
+    # closest in-situ shape: t is a LIVE scatter result (emission-like,
+    # BC sources) threaded through the ladder, full-sum reduced
+    BC = N // 5
+    epos = jnp.asarray(rng.permutation(N)[:BC].astype(np.int32))
+    esrc = jnp.asarray(rng.integers(0, 1 << 20, BC, dtype=np.int32))
+
+    def chain_body(t, salt):
+        t = t.at[(epos + salt) % N].set(esrc, mode="drop")
+        return full(t, salt)
+    benchsum("chain", chain_body)
+
     bench("tier1", lambda t, salt: run23_body(t, w23[:TIER], salt))
 
     def gath(t, salt):

@@ -139,12 +139,13 @@ def run_packed(tok, texts, wide: bool, pallas: bool, host_merge: bool,
     return dt, n_out
 
 
-def run_decode(tok, texts):
+def run_decode(tok, texts, pallas=True):
     import numpy as np
 
     from tekken_tpu.ops.decode import DeviceDecoder
     from tekken_tpu.oracle import encode_ranks
 
+    os.environ["TEKKEN_TPU_PALLAS"] = "1" if pallas else "0"
     dec = DeviceDecoder(tok)
     ranks = np.concatenate([
         np.asarray(encode_ranks(t, tok.ranks), np.int32)
@@ -185,7 +186,10 @@ def main():
         ("packed-hostmerge", True,
          lambda: run_packed(tok, TEXTS, wide=True, pallas=False,
                             host_merge=True)),
-        ("decode", True, lambda: run_decode(tok, TEXTS)),
+        ("decode", True, lambda: run_decode(tok, TEXTS, pallas=False)),
+        # round 5: the Pallas block-compaction decode kernel
+        ("decode-pallas", pallas_default_on,
+         lambda: run_decode(tok, TEXTS, pallas=True)),
         ("packed-pallas", pallas_default_on,
          lambda: run_packed(tok, TEXTS, wide=True, pallas=True,
                             host_merge=False)),
