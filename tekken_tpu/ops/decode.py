@@ -108,11 +108,13 @@ def _compact_store_kernel(vals_ref, gap_ref, base_ref, out_ref, *,
     from jax.experimental.pallas import tpu as pltpu
 
     BIG = jnp.int32(1 << 30)
-    v = vals_ref[...]                       # (1, LANES) int32 byte values
-    g = gap_ref[...]                        # (1, LANES) int32; BIG = dead
+    v = vals_ref[...]                       # (RG, LANES) int32 byte values
+    g = gap_ref[...]                        # (RG, LANES) int32; BIG = dead
+    RG = v.shape[0]                         # 8 token-blocks per grid step
+    # (Mosaic wants the last-2 block dims divisible by (8, 128))
     k = 0
     step = 1
-    while step < lanes:
+    while step < lanes:                     # network vectorized over rows
         g_in = _shl(g, step, BIG)
         v_in = _shl(v, step, -1)
         sel = (g_in < BIG) & (((g_in >> k) & 1) == 1)
@@ -122,16 +124,25 @@ def _compact_store_kernel(vals_ref, gap_ref, base_ref, out_ref, *,
         k += 1
         step <<= 1
 
-    base = base_ref[0, 0]
-    s = base & 127
-    base_al = (base >> 7) * 128             # provably 128-aligned
-    vv = jnp.concatenate([v, jnp.full((1, 128), -1, jnp.int32)], axis=-1)
-    sv = pltpu.roll(vv, s, axis=1)          # sv[i] = vv[i - s] for i >= s
-    old = out_ref[pl.ds(0, 1), pl.ds(base_al, 128)]
-    l128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    head = jnp.where(l128 < s, old, sv[:, :128])
-    w = jnp.concatenate([head, sv[:, 128:]], axis=-1)
-    out_ref[pl.ds(0, 1), pl.ds(base_al, lanes + 128)] = w
+    l_full = jax.lax.broadcasted_iota(jnp.int32, (1, lanes + 128), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    for r in range(RG):                     # sequential stores, row order
+        base = base_ref[r, 0]
+        s = base & 127
+        base_al = (base >> 7) * 128         # provably 128-aligned
+        # row extraction via masked sum — a v[r:r+1] slice carries a
+        # sublane layout offset that Mosaic's concatenate rejects
+        vr = jnp.sum(jnp.where(row_ids == r, v, 0), axis=0,
+                     keepdims=True)
+        vv = jnp.concatenate(
+            [vr, jnp.full((1, 128), -1, jnp.int32)], axis=-1)
+        sv = pltpu.roll(vv, s, axis=1)      # sv[i] = vv[i - s], i >= s
+        old = out_ref[pl.ds(0, 1), pl.ds(base_al, 128)]
+        old_pad = jnp.concatenate(
+            [old, jnp.zeros((1, lanes), jnp.int32)], axis=-1)
+        # bytes below the true base keep the previous block's data
+        w = jnp.where(l_full < s, old_pad, sv)
+        out_ref[pl.ds(0, 1), pl.ds(base_al, lanes + 128)] = w
 
 
 def _shl(arr, k: int, fill):
@@ -154,10 +165,10 @@ def _compact_store_fn(nb: int, lanes: int, out_cap: int, interpret: bool):
 
     return pl.pallas_call(
         functools.partial(_compact_store_kernel, lanes=lanes),
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, lanes), lambda i: (i, 0)),
-                  pl.BlockSpec((1, lanes), lambda i: (i, 0)),
-                  pl.BlockSpec((1, 1), lambda i: (i, 0))],
+        grid=(nb // 8,),
+        in_specs=[pl.BlockSpec((8, lanes), lambda i: (i, 0)),
+                  pl.BlockSpec((8, lanes), lambda i: (i, 0)),
+                  pl.BlockSpec((8, 1), lambda i: (i, 0))],
         # every step maps to the SAME full-size block: the output stays
         # VMEM-resident across the sequential grid and flushes once
         # (+128 margin for the aligned-RMW store window)
@@ -183,8 +194,10 @@ def decode_bytes_pallas_impl(tokens, n_tokens, bytes32, lentab,
     import jax.numpy as jnp
 
     T = tokens.shape[0]
-    K = max(8, min(T, 16384 // sw4))
-    while T % K:
+    # NB must be a multiple of 8 (the kernel packs 8 token-blocks per
+    # grid step to satisfy Mosaic's (8, 128) block-divisibility rule)
+    K = max(8, min(T // 8, 16384 // sw4))
+    while T % (8 * K):
         K >>= 1
     NB = T // K
     LANES = K * sw4

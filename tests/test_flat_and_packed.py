@@ -467,3 +467,18 @@ def test_packed_route_grouping_off_matches(tok, monkeypatch):
     assert got_on == got_off
     for t, g in zip(texts, got_on):
         assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_packed_c_ladder_and_device_long_knobs(tok, monkeypatch):
+    """TEKKEN_TPU_C_LADDER=flat and TEKKEN_TPU_DEVICE_LONG=1 stay
+    oracle-exact (experiment/serving knobs must never change output)."""
+    from tekken_tpu.ops.packed import PackedEncoder
+
+    texts = ["hello world", "it's a test 12 3", "qx vk zz",
+             "longwordmiss xyzw", "a b c!"]
+    monkeypatch.setenv("TEKKEN_TPU_C_LADDER", "flat")
+    monkeypatch.setenv("TEKKEN_TPU_DEVICE_LONG", "1")
+    enc = PackedEncoder(tok, rows=8, row_len=256)
+    got = enc.encode_batch(texts)
+    for t, g in zip(texts, got):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
