@@ -157,12 +157,14 @@ def main():
                      f"{table.size} ({time.time()-t1:.1f}s)\n")
 
     # np_cap counts vocab misses (~bytes/80 on this corpus) — N/16 leaves
-    # a wide margin, asserted after warmup.  B=1024 (2 MB batches) is the
-    # round-5 sweet spot: the row-gather rate itself rises with batch
-    # (interleaved sweep, tools/bench_batchscale.py: 56.5 / 69.2 / 73.1
-    # MB/s at B=512/1024/2048), and past 2 MB the +6% stops paying for
-    # compile time and HBM footprint.
-    B, R = int(os.environ.get("BENCH_ROWS", 1024)), 2048
+    # a wide margin, asserted after warmup.  B=4096 (8 MB batches): the
+    # row-gather rate itself rises with batch, and the post-gather-fix
+    # interleaved sweep (tools/bench_batchscale.py) measured 104.9 /
+    # 119.5 / 146.2 MB/s at B=1024/2048/4096 — serving batches this size
+    # are realistic for corpus tokenization, and compile time is tracked
+    # in compile_seconds (the route sweep below stays at 1024 rows to
+    # bound it).
+    B, R = int(os.environ.get("BENCH_ROWS", 4096)), 2048
     docs = build_corpus(words, rng, n_docs=B, doc_len=R)
     batch_bytes = sum(len(d.encode("utf-8")) for d in docs)
 
@@ -304,10 +306,9 @@ def main():
                     lens2[i] = len(d)
                 assert host_route(buf2) == want_route, label
                 # parity spot check through the public grouped path
-                got2 = enc.encode_batch(texts2[:2]) if rows == B else None
-                if got2 is not None:
-                    for d, g in zip(texts2[:2], got2):
-                        assert g == encode_ranks(d, tok.ranks), label
+                got2 = enc.encode_batch(texts2[:2])
+                for d, g in zip(texts2[:2], got2):
+                    assert g == encode_ranks(d, tok.ranks), label
                 cap2 = max(64, enc._np_cap * rows // B)
                 run2 = make_runner(want_route, cap2)
                 jb2, jl2 = jnp.asarray(buf2), jnp.asarray(lens2)
@@ -321,37 +322,43 @@ def main():
                 nbytes2 = int(lens2.sum())
                 return nbytes2 / dt2, dt2
 
+            # the sweep runs at <= 1024 rows (compile-time bound); the
+            # mixed ratio uses a same-shape route-1 reference
+            Bk = min(B, 1024)
+            docs_k = docs[:Bk]
             r2x = random.Random(77)
             docs2 = []
-            for d in docs:
+            for d in docs_k:
                 parts = d.split(" ")
                 for k in range(3, len(parts), 7):
                     parts[k] += " "          # ws run of 2 when joined
                 parts.insert(0, str(r2x.randint(10000, 99999)))
                 docs2.append(" ".join(parts)[:R])
-            route_bps["route2"], _ = measure(docs2, 2, "general-ascii")
+            route_bps["route2"], _ = measure(docs2, 2, "general-ascii",
+                                             rows=Bk)
             sys.stderr.write(f"[bench] route-2 (general ASCII): "
                              f"{route_bps['route2']/1e6:.1f} MB/s\n")
 
             r3x = random.Random(88)
             cjk = "中文字符测试数据漢字"
             docs3 = []
-            for d in docs:
+            for d in docs_k:
                 parts = d.split(" ")[:-8]
                 for k in range(2, len(parts), 9):
                     parts[k] = r3x.choice(cjk) + parts[k]
                 docs3.append(" ".join(parts)[:R - 64])
-            route_bps["route3"], _ = measure(docs3, 3, "utf8")
+            route_bps["route3"], _ = measure(docs3, 3, "utf8", rows=Bk)
             sys.stderr.write(f"[bench] route-3 (UTF-8): "
                              f"{route_bps['route3']/1e6:.1f} MB/s\n")
 
             # mixed corpus: 1% of docs get one CJK char -> per-doc-group
             # routing runs the majority at route 1 plus one small route-3
             # call; ratio vs pure route 1 on the same total bytes
-            n_mix = max(1, B // 100)
-            docs_m1 = docs[:B - n_mix]
-            docs_m3 = [d[:R - 8] + "中" for d in docs[B - n_mix:]]
-            bps_m1, dt_m1 = measure(docs_m1, 1, "mixed-major", rows=B)
+            n_mix = max(1, Bk // 100)
+            docs_m1 = docs_k[:Bk - n_mix]
+            docs_m3 = [d[:R - 8] + "中" for d in docs_k[Bk - n_mix:]]
+            _, dt_ref = measure(docs_k, 1, "route1-ref", rows=Bk)
+            bps_m1, dt_m1 = measure(docs_m1, 1, "mixed-major", rows=Bk)
             rows3 = 8
             while rows3 < n_mix:
                 rows3 <<= 1
@@ -359,7 +366,7 @@ def main():
             mixed_bytes = (sum(len(d.encode()) for d in docs_m1)
                            + sum(len(d.encode()) for d in docs_m3))
             mixed_bps = mixed_bytes / (dt_m1 + dt_m3)
-            mixed_ratio = round((dt_m1 + dt_m3) / dt_in, 3)
+            mixed_ratio = round((dt_m1 + dt_m3) / dt_ref, 3)
             route_bps["mixed_1pct_nonascii"] = mixed_bps
             sys.stderr.write(
                 f"[bench] mixed corpus (1% non-ASCII): "
@@ -382,14 +389,16 @@ def main():
         from tekken_tpu.special_tokens import SpecialTokenPolicy
         shift = tok.num_special_tokens()
         if out is not None:
-            # the spliced stream (device tokens + host-merged fb spans)
+            # the spliced stream (device tokens + host-merged fb spans);
+            # ids stay numpy arrays — the serving payload type (list
+            # conversion alone costed ~40 ms per 2 MB batch)
             rows = got_pos // R
             cut = np.searchsorted(rows, np.arange(B + 1))
-            id_lists = [(got_ranks[cut[i]:cut[i + 1]] + shift).tolist()
+            id_lists = [got_ranks[cut[i]:cut[i + 1]] + shift
                         for i in range(B)]
         else:
-            id_lists = [[r + shift for r in encode_ranks(d, tok.ranks)]
-                        for d in docs]
+            id_lists = [np.asarray(encode_ranks(d, tok.ranks),
+                                   np.int64) + shift for d in docs]
         texts_out = tok.decode_batch(id_lists, SpecialTokenPolicy.IGNORE)
         assert texts_out == docs, "decode parity failure in bench"
         sys.stderr.write("[bench] decode_batch parity on all docs OK\n")

@@ -634,9 +634,11 @@ def byte_char_structure(byts, length):
     return is_lead, cp
 
 
-def byte_boundaries(byts, length):
-    """Piece-start flags over a padded byte buffer (True at the lead byte of
-    each piece's first char).  jit-able: static shape, dynamic length."""
+def byte_boundaries_via_chars(byts, length):
+    """Round-1..4 formulation of byte_boundaries: compact chars with
+    scatters, run the char-level rules, scatter boundaries back.  Kept as
+    the differential reference for the direct byte-level formulation
+    below (the three N-source scatters cost ~20 ms/MB on v5e)."""
     import jax.numpy as jnp
 
     is_lead, cp = byte_char_structure(byts, length)
@@ -665,6 +667,195 @@ def byte_boundaries(byts, length):
     # ensure padding never flagged
     out = out & (idx < length)
     return out
+
+
+def byte_boundaries(byts, length):
+    """Piece-start flags over a padded byte buffer (True at the lead byte
+    of each piece's first char) — DIRECT byte-level formulation (round 5).
+
+    The char-compaction formulation (byte_boundaries_via_chars) paid
+    three N-source scatters (~20 ms/MB on v5e).  Here the char-level
+    rules of _char_boundaries run at BYTE granularity with every
+    per-char value BROADCAST to the char's continuation bytes (a 3-shift
+    select keyed on the lead-distance), so class runs are byte-contiguous
+    and all scans/shifts work on byte positions; char-indexed neighbor
+    reads use selects keyed on the neighbor's byte length.  Rule A's
+    char-modular split uses the char ordinal (cumsum of is_lead); rule
+    C's back-references become a forward push from the contraction
+    apostrophe (multi-byte folded letters like U+017F make byte shifts
+    != char shifts, so look-backs cannot be plain byte shifts).
+    Differentially tested against byte_boundaries_via_chars and the
+    regex oracle (tools/fuzz_pretokenize.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    L = byts.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    valid = idx < length
+    is_lead, cp = byte_char_structure(byts, length)
+
+    b = jnp.where(valid, byts, 0).astype(jnp.int32)
+    is_cont = valid & ((b & 0xC0) == 0x80)
+    # char byte length at lead bytes (junk at continuations, masked by use)
+    clen = jnp.where(b < 0xC0, 1, jnp.where(b < 0xE0, 2,
+                     jnp.where(b < 0xF0, 3, 4)))
+    # distance to the owning lead (0 at leads, 1..3 at continuations)
+    cont1 = _shift(is_cont, -1, False)
+    cont2 = _shift(is_cont, -2, False)
+    ld = jnp.where(is_cont,
+                   jnp.where(cont1, jnp.where(cont2, 3, 2), 1), 0)
+
+    # per-char packed word at leads: cls(3) | nl(8) | space(16) | apos(32)
+    # | valid-lead(64) | fold << 8
+    packed_tab = jnp.asarray(unicode_packed_table())
+    pk = packed_tab[cp].astype(jnp.int32)   # the one big-table gather
+    cls = pk & 7
+    fold = (pk >> 3) & 0x1F
+    W = (cls
+         | jnp.where((cp == 0x0D) | (cp == 0x0A), 8, 0)
+         | jnp.where(cp == 0x20, 16, 0)
+         | jnp.where(cp == 0x27, 32, 0)
+         | 64
+         | (fold << 8))
+    W = jnp.where(is_lead, W, 0)
+
+    def bcast(arr, fill=0):
+        # value at the owning lead, for every byte of the char
+        a1 = _shift(arr, -1, fill)
+        a2 = _shift(arr, -2, fill)
+        a3 = _shift(arr, -3, fill)
+        return jnp.where(ld == 0, arr,
+                         jnp.where(ld == 1, a1,
+                                   jnp.where(ld == 2, a2, a3)))
+
+    Wb = jnp.where(valid, bcast(W), 0)
+    is_l = (Wb & _LETTER) != 0
+    is_n = (Wb & _NUMBER) != 0
+    is_w = (Wb & _WS) != 0
+    is_p = ((Wb & 64) != 0) & ((Wb & 7) == 0)
+    is_nl = (Wb & 8) != 0
+    is_space = (Wb & 16) != 0
+    is_apos = (Wb & 32) != 0
+    fold_b = (Wb >> 8) & 0x1F
+
+    g = jnp.where(is_l, 0, jnp.where(is_n, 1, jnp.where(is_w, 2,
+                  jnp.where(is_p, 3, 4))))
+    change = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), g[1:] != g[:-1]]) & is_lead
+    chg_next_b = jnp.concatenate(
+        [g[:-1] != g[1:], jnp.ones(1, dtype=bool)])   # run-last BYTE
+
+    # scans, all on byte positions (class broadcast makes runs contiguous)
+    S = jax.lax.cummax(jnp.where(change, idx, -1))
+    u = jax.lax.cummax(jnp.where(~is_nl & valid, idx, -1))
+    BIG = jnp.int32(1 << 30)
+    f = jax.lax.cummin(jnp.where(is_nl, idx, BIG), reverse=True)
+    nxt_change_pos = jax.lax.cummin(
+        jnp.where(chg_next_b, idx, BIG), reverse=True)
+
+    chb = bcast(jnp.where(change, 1, 0)) != 0   # per-char change, all bytes
+
+    # previous char = any byte of it = byte i-1 (values are broadcast)
+    Wm1 = _shift(Wb, -1, 0)
+    p_is_w = (Wm1 & _WS) != 0
+    p_is_nl = (Wm1 & 8) != 0
+    p_is_p = ((Wm1 & 64) != 0) & ((Wm1 & 7) == 0)
+    p_is_space = (Wm1 & 16) != 0
+    p_change = _shift(chb, -1, False)
+
+    # char -2 = byte (i - 2 - ld(i-1))
+    ldm1 = _shift(ld, -1, 0)
+
+    def at_prev2(arr, fill):
+        a2 = _shift(arr, -2, fill)
+        a3 = _shift(arr, -3, fill)
+        a4 = _shift(arr, -4, fill)
+        a5 = _shift(arr, -5, fill)
+        return jnp.where(ldm1 == 0, a2, jnp.where(ldm1 == 1, a3,
+                         jnp.where(ldm1 == 2, a4, a5)))
+
+    p2_is_space = (at_prev2(Wb, 0) & 16) != 0
+
+    # next char = byte i + clen(i)  (valid at leads)
+    def at_next(arr, fill):
+        a1 = _shift(arr, 1, fill)
+        a2 = _shift(arr, 2, fill)
+        a3 = _shift(arr, 3, fill)
+        a4 = _shift(arr, 4, fill)
+        return jnp.where(clen == 1, a1, jnp.where(clen == 2, a2,
+                         jnp.where(clen == 3, a3, a4)))
+
+    g_next = at_next(g, jnp.int32(4))
+    change_next = g_next != g
+    next_valid = at_next(valid, False)
+
+    # ---- contraction at a free length-1 apostrophe run (apos is 1 byte,
+    # but the folded letters can be multi-byte, e.g. U+017F -> 's') ----
+    f1 = at_next(fold_b, jnp.int32(0))
+    n1_is_l = at_next(is_l, False)
+    cl_next = at_next(clen, jnp.int32(1))     # byte length of char i+1
+    # char i+2 relative to the apostrophe: byte i + 1 + cl_next
+
+    def at_apos2(arr, fill):
+        a2 = _shift(arr, 2, fill)
+        a3 = _shift(arr, 3, fill)
+        a4 = _shift(arr, 4, fill)
+        a5 = _shift(arr, 5, fill)
+        return jnp.where(cl_next == 1, a2, jnp.where(cl_next == 2, a3,
+                         jnp.where(cl_next == 3, a4, a5)))
+
+    f2 = at_apos2(fold_b, jnp.int32(0))
+    has_l2 = at_apos2(is_l, False) & ~at_apos2(chb, True)
+    p_free_apos = (is_p & is_apos & change & change_next & ~p_is_space)
+    one_letter = (f1 == _F_S) | (f1 == _F_T) | (f1 == _F_M) | (f1 == _F_D)
+    two_letter = (((f1 == _F_R) | (f1 == _F_V)) & has_l2 & (f2 == _F_E)) | \
+                 ((f1 == _F_L) & has_l2 & (f2 == _F_L))
+    contraction = p_free_apos & n1_is_l & (one_letter | two_letter)
+    cons1 = contraction & one_letter
+    cons2 = contraction & two_letter
+
+    # ---- rule A: number runs split into char-triples ----
+    c_ord = jnp.cumsum(is_lead.astype(jnp.int32)) - 1
+    cS = jax.lax.cummax(jnp.where(change, c_ord, -1))
+    b_num = is_n & (((c_ord - cS) % 3) == 0)
+
+    # ---- rule B: letter-run start ----
+    absorbed = ((p_is_w & ~p_is_nl)
+                | (p_is_p & p_change & ~p2_is_space))
+    b_letter_start = is_l & change & ~((idx > 0) & absorbed)
+
+    # ---- rule C: post-contraction remainder, as a FORWARD push from the
+    # apostrophe to the char after the absorbed letter(s) ----
+    cb1 = jnp.zeros(L, dtype=bool)
+    for k in range(2, 6):                      # 1 + cl_next in 2..5
+        cb1 = cb1 | _shift(cons1 & (cl_next == k - 1), -k, False)
+    off2 = 1 + cl_next + at_apos2(clen, jnp.int32(1))
+    cb2 = jnp.zeros(L, dtype=bool)
+    for k in range(3, 10):                     # off2 in 3..9
+        cb2 = cb2 | _shift(cons2 & (off2 == k), -k, False)
+    b_letter_cont = is_l & ~change & (cb1 | cb2)
+
+    # ---- rule D: punct-run start ----
+    b_punct = is_p & change & ~((idx > 0) & p_is_space)
+
+    # ---- rule E: whitespace runs ----
+    packed2 = jnp.where(change, idx * 2 + p_is_p.astype(jnp.int32), -1)
+    prev_run_is_p = (jax.lax.cummax(packed2) & 1) == 1
+    run_continues = ~change
+    no_nl_to_end = f > nxt_change_pos
+    no_nl_to_end_prev = _shift(f, -1, BIG) > nxt_change_pos
+    u_prev = _shift(u, -1, jnp.int32(-1))
+    is_entry = is_w & jnp.where(prev_run_is_p,
+                                ~is_nl & (u_prev < S), change)
+    prev_ge_entry = jnp.where(prev_run_is_p, u_prev >= S, True)
+    b_ws_tail = (is_w & run_continues & p_is_nl & prev_ge_entry
+                 & no_nl_to_end & ~is_entry)
+    b_ws_last = (is_w & change_next & next_valid
+                 & run_continues & ~p_is_nl & no_nl_to_end_prev)
+    b_ws = is_entry | b_ws_tail | b_ws_last
+
+    return ((b_num | b_letter_start | b_letter_cont | b_punct | b_ws)
+            & valid & is_lead)
 
 
 # --------------------------------------------------------------------- #

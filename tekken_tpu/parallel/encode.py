@@ -130,13 +130,55 @@ class DistributedEncoder:
                     self._wrows)
 
     def encode_batch(self, texts):
-        """Convenience: texts -> per-doc rank lists + psum'd counters."""
-        from ..ops.packed import splice_host_merges
+        """Convenience: texts -> per-doc rank lists + psum'd counters.
+
+        Routing is per ROW GROUP as in PackedEncoder (round 5): when the
+        batch mixes routes, each route's docs run in their own (smaller,
+        mesh-divisible) distributed step, so one UTF-8 doc no longer
+        demotes every shard to the byte-granular char path.
+        TEKKEN_TPU_GROUP_ROUTES=0 restores buffer-global routing."""
+        import os
+
+        from ..ops.packed import doc_routes, host_route
 
         if len(texts) > self._B:
             raise ValueError(f"{len(texts)} docs exceed {self._B} rows")
-        buf = np.zeros((self._B, self._R), dtype=np.uint8)
-        lengths = np.zeros(self._B, dtype=np.int32)
+        buf, lengths = self._pack(texts, self._B)
+        routes = doc_routes(buf)[:len(texts)]
+        distinct = sorted(set(routes.tolist())) if len(texts) else [1]
+        if (len(distinct) <= 1
+                or os.environ.get("TEKKEN_TPU_GROUP_ROUTES", "1") == "0"):
+            return self._encode_buffer(buf, lengths, len(texts),
+                                       host_route(buf))
+
+        n = self.mesh.devices.size
+        results: list = [None] * len(texts)
+        total_bytes = 0
+        n_tokens = 0
+        overflow_rows = 0
+        for r in distinct:
+            idx = np.flatnonzero(routes == r)
+            Bg = n
+            while Bg < idx.size:
+                Bg <<= 1
+            Bg = min(Bg, self._B)
+            for lo in range(0, idx.size, Bg):
+                sel = idx[lo:lo + Bg]
+                sub = [texts[int(i)] for i in sel]
+                sub_buf, sub_len = self._pack(sub, Bg)
+                docs_g, bytes_g, toks_g = self._encode_buffer(
+                    sub_buf, sub_len, len(sub), int(r))
+                overflow_rows += self.last_overflow_rows
+                total_bytes += bytes_g
+                n_tokens += toks_g
+                for j, i in enumerate(sel):
+                    results[int(i)] = docs_g[j]
+        self.last_overflow_rows = overflow_rows
+        return results, total_bytes, n_tokens
+
+    def _pack(self, texts, rows: int):
+        buf = np.zeros((rows, self._R), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
         for i, t in enumerate(texts):
             d = t.encode("utf-8")
             if len(d) > self._R:
@@ -145,17 +187,19 @@ class DistributedEncoder:
             if d:
                 buf[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
             lengths[i] = len(d)
+        return buf, lengths
 
-        # static host routing (the shards are packed here on host, so the
-        # route predicates are ~free in numpy): simple-ASCII corpora take
-        # the piece-compact pipeline on every shard
-        from ..ops.packed import host_route
+    def _encode_buffer(self, buf, lengths, n_docs: int, route: int):
+        """One distributed step over a packed (Bg, R) buffer + host
+        post-processing (fb splice, per-row overflow fallback)."""
+        from ..ops.packed import splice_host_merges
+
         (tok, n_out, fb_start, fb_len, overflow, row_bad, total_bytes,
          total_tokens, overflow_rows) = self.encode_step(
-             buf, lengths, route=host_route(buf))
+             buf, lengths, route=route)
 
         n_shards = self.mesh.devices.size
-        rows_per_shard = self._B // n_shards
+        rows_per_shard = buf.shape[0] // n_shards
         shard_n = rows_per_shard * self._R
         tok = np.asarray(tok)
         n_out = np.asarray(n_out)
@@ -204,7 +248,7 @@ class DistributedEncoder:
                 else:
                     docs.append(block[cut[r]:cut[r + 1]].tolist())
 
-        docs = docs[:len(texts)]
+        docs = docs[:n_docs]
         n_tokens = (sum(len(d) for d in docs) if corrected
                     else int(total_tokens))
         self.last_overflow_rows = int(overflow_rows)

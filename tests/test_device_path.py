@@ -115,3 +115,44 @@ def test_merge_order_counterexample():
     want = byte_pair_merge(b"abcd", ranks)
     assert want == [ord("a"), 257]  # sequential semantics
     assert got == want
+
+
+def test_byte_boundaries_direct_vs_chars():
+    """The direct byte-level boundary formulation matches the char-
+    compaction reference on multibyte-heavy inputs (incl. folded
+    multi-byte letters like U+017F, multi-byte whitespace, non-ASCII
+    digits)."""
+    import functools
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tekken_tpu.ops.pretokenize import (byte_boundaries,
+                                            byte_boundaries_via_chars)
+
+    @functools.lru_cache(maxsize=8)
+    def fns(L):
+        return (jax.jit(byte_boundaries),
+                jax.jit(byte_boundaries_via_chars))
+
+    rng = random.Random(42)
+    pool = ("abc DEF 123 45678  \t\n\r 中文漢字 ñé ſ ' 's 're 'll !?.,;:"
+            "     \U0001F600 ٠١٢٣ ")
+    cases = ["", "it's a test", "'ſ fold", "a'ſ b", "it'ſ x",
+             "don't we've it'll they're", "٠١٢٣٤٥٦٧ nums",
+             "a b", "  \n\n  x", "\r\n\r\n", "   "]
+    for _ in range(60):
+        cases.append("".join(rng.choice(pool)
+                             for _ in range(rng.randint(1, 30))))
+    for t in cases:
+        d = t.encode("utf-8")
+        L = 64
+        while L < len(d) + 1:
+            L <<= 1
+        buf = np.zeros(L, np.uint8)
+        buf[:len(d)] = np.frombuffer(d, np.uint8)
+        fa, fb = fns(L)
+        a = np.asarray(fa(jnp.asarray(buf), len(d)))
+        b = np.asarray(fb(jnp.asarray(buf), len(d)))
+        assert (a == b).all(), repr(t)

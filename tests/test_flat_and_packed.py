@@ -482,3 +482,22 @@ def test_packed_c_ladder_and_device_long_knobs(tok, monkeypatch):
     got = enc.encode_batch(texts)
     for t, g in zip(texts, got):
         assert g == encode_ranks(t, tok.ranks), repr(t)
+
+
+def test_distributed_route_grouping_parity(tok):
+    """A mixed distributed batch (1 CJK doc) routes per group and stays
+    oracle-exact, with exact psum'd byte totals."""
+    import jax
+    from tekken_tpu.parallel.encode import DistributedEncoder
+    from tekken_tpu.parallel.mesh import make_dp_mesh
+
+    n = min(4, len(jax.devices()))
+    mesh = make_dp_mesh(n)
+    enc = DistributedEncoder(tok, mesh=mesh, rows=4 * n, row_len=128)
+    texts = [f"doc {i} hello world" for i in range(3 * n)] + \
+        ["中文 doc", "double  space ok"]
+    docs, total_bytes, n_tokens = enc.encode_batch(texts)
+    for t, g in zip(texts, docs):
+        assert g == encode_ranks(t, tok.ranks), repr(t)
+    assert total_bytes == sum(len(t.encode("utf-8")) for t in texts)
+    assert n_tokens == sum(len(d) for d in docs)
